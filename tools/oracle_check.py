@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Reads the Verify output dir (per-query parquet + oracle_sql.json), runs
+each oracle SQL in DuckDB over the same sf tables, and compares
+row-count, schema (column names), and a canonical value hash — the same
+spirit as the driver's CORRECTNESS_r{N}.json. Dev tool only; the Scala
+engine has no dependency on this.
+
+Usage: oracle_check.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+import glob
+import hashlib
+import math
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+    h = hashlib.sha256()
+
+    def cell(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "<null>"
+        if isinstance(v, float):
+            if v == int(v) and abs(v) < 1e15:
+                return str(int(v))
+            return repr(v)
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return "[" + ",".join(cell(x) for x in v) + "]"
+        return str(v)
+
+    for row in df.itertuples(index=False, name=None):
+        h.update(("|".join(cell(v) for v in row) + "\n").encode())
+    return h.hexdigest()
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            failures += 1
+            continue
+        got = pq.ParquetDataset(files).read().to_pandas()
+        try:
+            want = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}")
+            failures += 1
+            continue
+        problems = []
+        if sorted(got.columns) != sorted(want.columns):
+            problems.append(f"schema {sorted(got.columns)} vs {sorted(want.columns)}")
+        if len(got) != len(want):
+            problems.append(f"rows {len(got)} vs {len(want)}")
+        if not problems and canon(got) != canon(want):
+            problems.append("value hash mismatch")
+            merged = got.reindex(sorted(got.columns), axis=1)
+            wantd = want.reindex(sorted(want.columns), axis=1)
+            for i in range(min(len(got), len(want))):
+                if canon(merged.iloc[[i]]) != canon(wantd.iloc[[i]]):
+                    problems.append(
+                        f"first diff row {i}:\n  spark={merged.iloc[i].to_dict()}\n  duck ={wantd.iloc[i].to_dict()}")
+                    break
+        if problems:
+            failures += 1
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            print(f"ok   {name} ({len(got)} rows)")
+    print(f"\n{len(oracle) - failures}/{len(oracle)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
