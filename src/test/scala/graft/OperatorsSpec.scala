@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{PriorityDedup, RangeJoin}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("RangeJoin.firstMatch keeps first range in order on overlap") {
+    val items = Seq("A00", "A15", "A20", "Z99").toDF("code")
+    val ranges = Seq(
+      ("A00", "A09", "narrow", 0L),
+      ("A00", "A99", "wide", 1L)).toDF("lo", "hi", "name", "ord")
+    val got = RangeJoin.firstMatch(items, ranges, $"code", $"lo", $"hi",
+        leftKey = Seq("code"), rangeOrder = $"ord")
+      .select($"code", $"name").as[(String, Option[String])]
+      .collect().toMap
+    assert(got("A00").contains("narrow")) // both match, first wins
+    assert(got("A15").contains("wide"))
+    assert(got("A20").contains("wide"))
+    assert(got("Z99").isEmpty) // unmatched survives with null
+  }
+
+  test("RangeJoin.bucketed equals broadcast firstMatch on disjoint ranges") {
+    val items = (0 until 1000).map(i => (i.toLong, i * 7 % 500)).toDF("id", "v")
+    val ranges = (0 until 10).map(i => (i * 50, i * 50 + 49, s"r$i"))
+      .toDF("lo", "hi", "name")
+    val viaBuckets = RangeJoin.bucketed(items, ranges, $"v", $"lo", $"hi",
+        bucketOf = c => floor(c / 50),
+        bucketsOf = (lo, hi) => sequence(floor(lo / 50), floor(hi / 50)))
+      .select($"id", $"name").as[(Long, String)].collect().toSet
+    val viaBroadcast = RangeJoin.firstMatch(items, ranges, $"v", $"lo", $"hi",
+        leftKey = Seq("id"), rangeOrder = $"lo")
+      .filter($"name".isNotNull)
+      .select($"id", $"name").as[(Long, String)].collect().toSet
+    assert(viaBuckets == viaBroadcast)
+  }
+
+  test("PriorityDedup keeps exactly one max-priority row per key") {
+    val df = Seq(
+      ("A00", "DATASUS", 1), ("A00", "Estruturada", 2),
+      ("B00", "DATASUS", 3),
+      ("C00", "Estruturada", 4), ("C00", "Estruturada", 5))
+      .toDF("code", "fonte", "id")
+    val got = PriorityDedup(df, Seq("code"),
+        Seq($"fonte".desc, $"id".asc))
+      .as[(String, String, Int)].collect().toMap2
+    assert(got == Map(
+      "A00" -> ("Estruturada", 2),
+      "B00" -> ("DATASUS", 3),
+      "C00" -> ("Estruturada", 4))) // tie broken deterministically by id
+  }
+
+  implicit class Tuple3Ops(rows: Array[(String, String, Int)]) {
+    def toMap2: Map[String, (String, Int)] =
+      rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+}
