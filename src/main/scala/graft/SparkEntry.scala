@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   /** Every query catalog in the engine. Order matters only for display. */
-  val catalogs: Seq[Catalog] = Seq(CoreQueries)
+  val catalogs: Seq[Catalog] = Seq(
+    CoreQueries, TextQueries, DedupQueries, SimilarityQueries, EventQueries)
 
   private lazy val allQueries: Seq[Q] = catalogs.flatMap(_.queries)
 

@@ -18,5 +18,16 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
+      // default; read the raw int64 nanos and truncate to microseconds
+      // (exactly what DuckDB does when it coerces NANOS to its µs
+      // timestamps). timestamp_ntz keeps it wall-clock like the source.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000"))
+            .cast("timestamp_ntz"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 }

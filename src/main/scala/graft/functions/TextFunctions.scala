@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale training-data
+  * pipelines: tokenization, shingling, MinHash, SimHash, language ID,
+  * quality ratios, fingerprinting.
+  *
+  * Everything here is a native `Column` expression (higher-order array
+  * functions — codegen'd, no UDFs, no explode), so per-document work
+  * stays inside whole-stage codegen and scales embarrassingly: a 100 TB
+  * corpus is just a map over partitions, no shuffle until the caller
+  * aggregates.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization of trimmed text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Word n-gram shingles, empty array when the doc is too short. */
+  def shingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** One MinHash value: the minimum md5 hex digest over the shingles,
+    * salted with the hash index. Hex strings are uniform, so the
+    * lexicographic min is a valid min-hash — and cross-engine
+    * comparable (DuckDB and Spark both emit lowercase hex).
+    */
+  def minhashHex(shingleCol: Column, seed: Int): Column =
+    array_min(transform(shingleCol,
+      s => md5(concat(lit(seed.toString), lit(":"), s))))
+
+  /** 16-bit SimHash over the token multiset: per token, the first 4 md5
+    * nibbles form a 16-bit hash; each bit votes +1/-1; the sign of each
+    * bit's tally forms the fingerprint. Pure integer arithmetic (no
+    * engine-specific bit ops) so the DuckDB oracle can mirror it
+    * exactly.
+    */
+  def simhash16(c: Column): Column = {
+    val toks = tokens(c)
+    val hashes = transform(toks, t => {
+      val h = md5(t)
+      val d = (i: Int) => conv(substring(h, i, 1), 16, 10).cast("int")
+      (((d(1) * 16 + d(2)) * 16 + d(3)) * 16 + d(4)).cast("int")
+    })
+    val n = size(hashes)
+    (0 until 16).map { j =>
+      val pow = 1 << j
+      val cnt = size(filter(hashes,
+        h => floor(h.cast("double") / lit(pow)).cast("int") % 2 === 1))
+      when(cnt * 2 > n, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** Canonical content fingerprint: md5 of the sorted distinct
+    * lowercase tokens — robust to token order and repetition (catches
+    * shuffled/near-identical documents in one exact groupBy).
+    */
+  def fingerprint(c: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(lower(c))))))
+
+  /** Stopword sets for the language-ID heuristic (top function words). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "it", "you", "that", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "est", "dans", "pour", "qui", "sur"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht", "mit", "den", "von"),
+    "pt" -> Seq("o", "os", "do", "da", "em", "uma", "para", "com", "por", "mais"))
+
+  /** Count of tokens contained in `set`. */
+  def stopwordHits(c: Column, set: Seq[String]): Column = {
+    val arr = array(set.map(lit): _*)
+    size(filter(tokens(lower(c)), t => array_contains(arr, t)))
+  }
+
+  /** Language-ID by stopword scoring: argmax over the per-language hit
+    * counts with a fixed priority order on ties (en > es > fr > de >
+    * pt); "und" (undetermined) when nothing matches. An n-gram model
+    * would be the production upgrade; the operator shape (pure column
+    * expression, no shuffle) is identical.
+    */
+  def langId(c: Column): Column = {
+    val order = Seq("en", "es", "fr", "de", "pt")
+    val scores = order.map(l => l -> stopwordHits(c, stopwords(l)))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Punctuation character ratio over total length (0 for empty). */
+  def punctRatio(c: Column): Column = {
+    val len = length(c)
+    when(len > 0,
+        (len - length(regexp_replace(c, "[.,;:!?'\"()]", "")))
+          .cast("double") / len.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean token length (0 for empty docs). */
+  def avgTokenLen(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) > 0,
+        length(concat_ws("", t)).cast("double") / size(t).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** English stopword ratio — a cheap fluency/quality signal. */
+  def stopwordRatio(c: Column): Column = {
+    val n = tokenCount(c)
+    when(n > 0, stopwordHits(c, stopwords("en")).cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+  }
+}

@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector primitives over `ArrayType(FloatType/DoubleType)`
+  * embedding columns — native higher-order expressions (zip_with +
+  * aggregate), fully codegen'd, no UDFs, no linear-algebra dependency.
+  *
+  * Cross-engine determinism: elements are cast to double BEFORE any
+  * arithmetic and summed sequentially (Spark's `aggregate` is a left
+  * fold; DuckDB's list_dot_product likewise), so dot products are
+  * bit-identical to the DuckDB oracle.
+  */
+object VectorFunctions {
+
+  def toDoubles(a: Column): Column = transform(a, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDoubles(a), toDoubles(b), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Sign-bit LSH bucket from the first `nbits` dimensions
+    * (axis-aligned random-projection hashing): bucket =
+    * Σ (v[i] > 0) << i. Cheap, deterministic, and oracle-expressible;
+    * the operator accepts any bit count ≤ 16.
+    */
+  def signBucket(a: Column, nbits: Int): Column =
+    (0 until nbits).map { i =>
+      when(element_at(a, i + 1) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+}

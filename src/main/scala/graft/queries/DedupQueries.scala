@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** Deduplication surface over `documents`: exact, MinHash signatures,
+  * MinHash-LSH candidate pairs, SimHash fingerprints, blocked n-gram
+  * Jaccard. Oracle SQL is generated from the same constants (seed
+  * count, band layout, shingle length) as the Spark operators.
+  */
+object DedupQueries extends Catalog {
+
+  private val NumHashes = 8
+  private val Bands = 4
+  private val Rows = NumHashes / Bands
+
+  private val duckToks = raw"regexp_split_to_array(trim(text), '\s+')"
+
+  /** Shared DuckDB CTE: doc_id + 3-gram shingles. */
+  private val duckShingleCte =
+    s"""WITH d AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |s AS (SELECT doc_id,
+       |  CASE WHEN len(toks) >= 3
+       |    THEN list_transform(range(0, len(toks)-2),
+       |           i -> array_to_string(list_slice(toks, i+1, i+3), ' '))
+       |    ELSE [] END AS sh
+       |  FROM d)""".stripMargin
+
+  private def duckMinhash(seed: Int): String =
+    s"list_min(list_transform(sh, x -> md5('$seed:' || x)))"
+
+  override val queries: Seq[Q] = Seq(
+
+    Q("q40_dedup_exact",
+      (s, dir) => Dedup.exact(
+          Tables.load(s, dir, "documents"), col("doc_id"), md5(col("text")))
+        .orderBy(col("content_hash")),
+      Some("""SELECT md5(text) AS content_hash,
+             |  CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+             |  COUNT(*) AS n_copies
+             |FROM documents GROUP BY md5(text)
+             |ORDER BY content_hash""".stripMargin)),
+
+    // near-dup-robust exact dedup: fingerprint = sorted distinct tokens
+    Q("q41_dedup_fingerprint",
+      (s, dir) => Dedup.exact(
+          Tables.load(s, dir, "documents"), col("doc_id"),
+          fingerprint(col("text")))
+        .filter(col("n_copies") > 1)
+        .orderBy(col("content_hash")),
+      Some(s"""SELECT fp AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+              |  COUNT(*) AS n_copies
+              |FROM (SELECT doc_id,
+              |  md5(array_to_string(list_sort(list_distinct(
+              |    regexp_split_to_array(trim(lower(text)), '\\s+'))), ' ')) AS fp
+              |  FROM documents) t
+              |GROUP BY fp HAVING COUNT(*) > 1
+              |ORDER BY content_hash""".stripMargin)),
+
+    Q("q42_minhash_signatures",
+      (s, dir) => Dedup.minhashSignatures(
+          Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"), NumHashes)
+        .orderBy(col("doc_id")),
+      Some {
+        val sigs = (0 until NumHashes)
+          .map(i => s"  ${duckMinhash(i)} AS m$i").mkString(",\n")
+        s"""$duckShingleCte
+           |SELECT doc_id,
+           |$sigs
+           |FROM s ORDER BY doc_id""".stripMargin
+      }),
+
+    Q("q43_minhash_lsh_pairs",
+      (s, dir) => Dedup.minhashCandidates(
+          Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"), NumHashes, Bands)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some {
+        val sigs = (0 until NumHashes)
+          .map(i => s"  ${duckMinhash(i)} AS m$i").mkString(",\n")
+        val bandCases = (0 until Bands).map { b =>
+          val parts = (0 until Rows).map(r => s"m${b * Rows + r}")
+            .mkString(" || '|' || ")
+          s"WHEN $b THEN md5($parts)"
+        }.mkString(" ")
+        s"""$duckShingleCte,
+           |sig AS (SELECT doc_id,
+           |$sigs
+           |FROM s),
+           |buckets AS (
+           |  SELECT doc_id, b.band,
+           |    CASE b.band $bandCases END AS bsig
+           |  FROM sig CROSS JOIN (SELECT unnest(range(0, $Bands)) AS band) b)
+           |SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b,
+           |  COUNT(*) AS n_shared_bands
+           |FROM buckets a JOIN buckets bb
+           |  ON a.band = bb.band AND a.bsig = bb.bsig
+           |  AND a.doc_id < bb.doc_id
+           |WHERE a.bsig IS NOT NULL
+           |GROUP BY a.doc_id, bb.doc_id
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
+    Q("q44_simhash",
+      (s, dir) => Dedup.simhashFingerprints(
+          Tables.load(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("doc_id")),
+      Some {
+        val nib = (i: Int) =>
+          s"(instr('0123456789abcdef', substr(md5(t), $i, 1)) - 1)"
+        val h16 = s"((((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)}))"
+        val bits = (0 until 16).map { j =>
+          val pow = 1 << j
+          s"CASE WHEN 2 * len(list_filter(hs, h -> CAST(FLOOR(h / $pow.0) AS INT) % 2 = 1)) > len(hs) THEN ${1 << j} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH d AS (SELECT doc_id,
+           |  list_transform($duckToks, t -> $h16) AS hs
+           |  FROM documents)
+           |SELECT doc_id, CAST($bits AS INTEGER) AS simhash
+           |FROM d ORDER BY doc_id""".stripMargin
+      }),
+
+    Q("q45_jaccard_pairs",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        Dedup.jaccardPairs(d, col("doc_id"), col("text"),
+            blockKeys = Seq(col("lang"),
+              floor(col("n_chars") / 500.0).cast("int")),
+            threshold = 0.8)
+          .withColumn("jaccard", round(col("jaccard"), 6))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang,
+              |  CAST(FLOOR(n_chars / 500.0) AS INT) AS bk,
+              |  list_distinct($duckToks) AS toks
+              |  FROM documents),
+              |pairs AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    CAST(len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS DOUBLE)
+              |      / CAST(len(a.toks) + len(b.toks)
+              |        - len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS DOUBLE)
+              |      AS jaccard
+              |  FROM d a JOIN d b
+              |    ON a.lang = b.lang AND a.bk = b.bk AND a.doc_id < b.doc_id)
+              |SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
+              |FROM pairs WHERE jaccard >= 0.8
+              |ORDER BY doc_a, doc_b""".stripMargin))
+  )
+}

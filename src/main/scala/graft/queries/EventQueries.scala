@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Event-time surface over `events`: tumbling-window aggregation,
+  * gap-based sessionization, semi-structured props extraction, top-k
+  * per entity. These run identically under Structured Streaming (see
+  * graft.streaming.EventStreams — same transformations, plus
+  * watermarks); the batch forms here are what the DuckDB oracle can
+  * check.
+  */
+object EventQueries extends Catalog {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(30, 8))).cast("double")
+
+  override val queries: Seq[Q] = Seq(
+
+    Q("q60_events_tumbling",
+      (s, dir) => Tables.load(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("window_start"), col("event_type")),
+      Some(s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+              |  COUNT(*) AS n,
+              |  ${Catalog.dsum("value")} AS sum_value
+              |FROM events GROUP BY 1, 2
+              |ORDER BY window_start, event_type""".stripMargin)),
+
+    // gap-based sessionization: a >30 min silence starts a new session
+    Q("q61_events_sessionize",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.load(s, dir, "events")
+          // integer microseconds on both engines — no truncation skew
+          .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("prev_us", lag(col("us"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull
+              || col("us") - col("prev_us") > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .groupBy(col("user_id"))
+          .agg(sum(col("new_sess")).as("n_sessions"),
+               count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH x AS (
+             |  SELECT user_id,
+             |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) IS NULL
+             |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) > 1800000000
+             |    THEN 1 ELSE 0 END AS new_sess
+             |  FROM events)
+             |SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+             |  COUNT(*) AS n_events
+             |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // semi-structured props: extract numeric field via portable regex
+    Q("q62_events_props",
+      (s, dir) => Tables.load(s, dir, "events")
+        .withColumn("k",
+          regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+             max(col("k")).as("max_k"),
+             sum(col("k").cast("long")).as("sum_k"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(MIN(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT)) AS INT) AS min_k,
+             |  CAST(MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT)) AS INT) AS max_k,
+             |  CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT)) AS BIGINT) AS sum_k
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // top event type per user (count desc, type asc tiebreak)
+    Q("q63_events_top_type",
+      (s, dir) => {
+        val counts = Tables.load(s, dir, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("n").desc, col("event_type"))
+        counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("n"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, event_type, n FROM (
+             |  SELECT user_id, event_type, COUNT(*) AS n,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY COUNT(*) DESC, event_type) AS rn
+             |  FROM events GROUP BY user_id, event_type) t
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin))
+  )
+}

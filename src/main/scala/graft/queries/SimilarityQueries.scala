@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+
+/** Similarity-search surface over `embeddings` (array<float>, 64-dim):
+  * exact brute-force cosine top-k, sign-bit LSH bucketed top-k, and
+  * threshold pair mining. Cosines are rounded to 9 decimals BEFORE
+  * ranking so an ULP divergence between engines can't flip a rank.
+  */
+object SimilarityQueries extends Catalog {
+
+  private val K = 5
+  private val NBits = 4
+
+  private val duckE =
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+  private def duckCos(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+  private def duckBucket(v: String): String =
+    (0 until NBits).map(i =>
+      s"(CASE WHEN $v[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+
+  override val queries: Seq[Q] = Seq(
+
+    Q("q50_ann_bruteforce",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.bruteForceTopK(
+            e.filter(col("vec_id") < 10), e, "vec_id", "embedding", K)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH e AS ($duckE),
+              |q AS (SELECT * FROM e WHERE vec_id < 10),
+              |scored AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              |    ROUND(${duckCos("q.v", "c.v")}, 9) AS cos
+              |  FROM q JOIN e c ON q.vec_id <> c.vec_id),
+              |ranked AS (
+              |  SELECT query_id, neighbor_id, cos,
+              |    CAST(row_number() OVER (PARTITION BY query_id
+              |      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+              |  FROM scored)
+              |SELECT query_id, neighbor_id, cos, rank FROM ranked
+              |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)),
+
+    Q("q51_ann_lsh",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.lshTopK(
+            e.filter(col("vec_id") < 10), e, "vec_id", "embedding", K, NBits)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+              |  ${duckBucket("embedding")} AS bucket FROM embeddings),
+              |q AS (SELECT * FROM e WHERE vec_id < 10),
+              |scored AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              |    q.bucket AS bucket,
+              |    ROUND(${duckCos("q.v", "c.v")}, 9) AS cos
+              |  FROM q JOIN e c ON q.bucket = c.bucket
+              |  WHERE q.vec_id <> c.vec_id),
+              |ranked AS (
+              |  SELECT query_id, neighbor_id, bucket, cos,
+              |    CAST(row_number() OVER (PARTITION BY query_id
+              |      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+              |  FROM scored)
+              |SELECT query_id, neighbor_id, bucket, cos, rank FROM ranked
+              |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)),
+
+    Q("q52_embedding_near_dup",
+      (s, dir) => Similarity.cosinePairs(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH e AS ($duckE),
+              |pairs AS (
+              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |    ROUND(${duckCos("a.v", "b.v")}, 9) AS cos
+              |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+              |SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.45
+              |ORDER BY id_a, id_b""".stripMargin),
+      bench = false), // O(n²) exact pair scan — not a headline op
+
+    Q("q53_vector_stats",
+      (s, dir) => Tables.load(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          col("label"),
+          round(l2Norm(col("embedding")), 9).as("l2_norm"),
+          size(col("embedding")).as("dims"))
+        .orderBy(col("vec_id")),
+      Some("""SELECT vec_id, label,
+             |  ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+             |    CAST(embedding AS DOUBLE[]))), 9) AS l2_norm,
+             |  CAST(len(embedding) AS INTEGER) AS dims
+             |FROM embeddings ORDER BY vec_id""".stripMargin))
+  )
+}

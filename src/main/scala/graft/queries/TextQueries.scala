@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis surface over the `documents` table: tokenization,
+  * quality ratios, language ID, fingerprinting, shingling. All pure
+  * map-side column expressions — at 100 TB these are a single scan.
+  *
+  * Oracle mirrors are generated from the same Scala constants (stopword
+  * sets, regexes) so the two engines cannot drift.
+  */
+object TextQueries extends Catalog {
+
+  /** DuckDB token array for `text` (mirror of TextFunctions.tokens). */
+  private val duckToks = raw"regexp_split_to_array(trim(text), '\s+')"
+  private val duckToksLower = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+  private def duckHits(set: Seq[String]): String = {
+    val in = set.map(s => s"'$s'").mkString(", ")
+    s"len(list_filter($duckToksLower, t -> t IN ($in)))"
+  }
+
+  override val queries: Seq[Q] = Seq(
+
+    Q("q30_text_tokens",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          size(array_distinct(tokens(col("text")))).as("n_distinct"),
+          round(avgTokenLen(col("text")), 6).as("avg_token_len"),
+          fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  CAST(len($duckToks) AS INTEGER) AS n_tokens,
+              |  CAST(len(list_distinct($duckToks)) AS INTEGER) AS n_distinct,
+              |  ROUND(CAST(len(array_to_string($duckToks, '')) AS DOUBLE)
+              |        / len($duckToks), 6) AS avg_token_len,
+              |  md5(array_to_string(list_sort(list_distinct($duckToksLower)), ' ')) AS fp
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("q31_text_quality",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          round(punctRatio(col("text")), 6).as("punct_ratio"),
+          round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          (col("n_chars") >= 100 && tokenCount(col("text")) >= 20)
+            .as("len_ok"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  ROUND(CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')) AS DOUBLE)
+              |        / length(text), 6) AS punct_ratio,
+              |  ROUND(CAST(${duckHits(stopwords("en"))} AS DOUBLE)
+              |        / len($duckToks), 6) AS stopword_ratio,
+              |  (n_chars >= 100 AND len($duckToks) >= 20) AS len_ok
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("q32_lang_id",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          langId(col("text")).as("lang_pred"),
+          stopwordHits(col("text"), stopwords("en")).as("score_en"),
+          stopwordHits(col("text"), stopwords("es")).as("score_es"))
+        .orderBy(col("doc_id")),
+      Some {
+        val order = Seq("en", "es", "fr", "de", "pt")
+        val scores = order.map(l => s"${duckHits(stopwords(l))}")
+        val best = s"greatest(${scores.mkString(", ")})"
+        val cases = order.zip(scores).map { case (l, sc) =>
+          s"WHEN $sc = $best AND $best > 0 THEN '$l'"
+        }.mkString(" ")
+        s"""SELECT doc_id,
+           |  CASE $cases ELSE 'und' END AS lang_pred,
+           |  CAST(${duckHits(stopwords("en"))} AS INTEGER) AS score_en,
+           |  CAST(${duckHits(stopwords("es"))} AS INTEGER) AS score_es
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    Q("q33_shingles",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(shingles(col("text"), 3)).as("n_shingles"),
+          size(array_distinct(shingles(col("text"), 3)))
+            .as("n_distinct_shingles"),
+          array_min(shingles(col("text"), 3)).as("min_shingle"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH d AS (SELECT doc_id, $duckToks AS toks FROM documents),
+              |s AS (SELECT doc_id,
+              |  CASE WHEN len(toks) >= 3
+              |    THEN list_transform(range(0, len(toks)-2),
+              |           i -> array_to_string(list_slice(toks, i+1, i+3), ' '))
+              |    ELSE [] END AS sh
+              |  FROM d)
+              |SELECT doc_id,
+              |  CAST(len(sh) AS INTEGER) AS n_shingles,
+              |  CAST(len(list_distinct(sh)) AS INTEGER) AS n_distinct_shingles,
+              |  list_min(sh) AS min_shingle
+              |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // multimodal plumbing tier-0: opaque binary payload + typed metadata
+    Q("q70_binary_meta",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          length(col("text").cast("binary")).as("n_bytes"),
+          md5(col("text")).as("content_md5"),
+          substring(col("text"), 1, 8).as("head8"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+             |  md5(text) AS content_md5,
+             |  substring(text, 1, 8) AS head8
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time processing that runs identically in batch and Structured
+  * Streaming: the transforms below accept either a static or a
+  * streaming DataFrame (same logical plan; the streaming run just adds
+  * watermark-driven state eviction).
+  *
+  * The reference has no streaming at all (SURVEY.md §2.11) — this is
+  * the engine's scale extension for the `events` table shape.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class Session(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Long,
+                           sum_value: Double)
+
+  /** Internal keyed state (public: Catalyst codegen instantiates it). */
+  final case class SessionState(start: Long, last: Long,
+                                n: Long, total: Double)
+
+  /** Tumbling event-time window aggregation with a watermark for late
+    * data. In batch mode the watermark is a no-op and this is exactly
+    * EventQueries.q60 with window() instead of date_trunc.
+    */
+  def tumblingStats(events: DataFrame, windowLen: String = "1 hour",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+              col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based sessionization with explicit keyed state
+    * (flatMapGroupsWithState): a session closes after `gapMinutes` of
+    * silence per user. State is per-key and evicted by event-time
+    * timeout — the canonical scalable pattern (state size is O(active
+    * users), not O(events)).
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int,
+                 watermark: String = "30 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def flush(userId: Long, st: SessionState): Session =
+      Session(userId, new Timestamp(st.start), new Timestamp(st.last),
+        st.n, st.total)
+
+    // event-time timeout requires a watermark; in batch runs Spark
+    // ignores it
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark)
+      else events
+
+    withWm.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(flush(userId, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.orNull
+            val closed = Seq.newBuilder[Session]
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              if (st == null) st = SessionState(t, t, 1, e.value)
+              else if (t - st.last > gapMs) {
+                closed += flush(userId, st)
+                st = SessionState(t, t, 1, e.value)
+              } else st = st.copy(last = math.max(st.last, t),
+                n = st.n + 1, total = st.total + e.value)
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Convenience: events parquet dir as a bounded stream (for tests and
+    * replays — production would point readStream at a live source).
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.Tables.load(spark, dir, "events").schema
+    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Structured Streaming semantics: the same transforms run in batch
+  * and streaming, watermarks admit late-but-in-window data, and the
+  * stateful sessionizer closes sessions on event-time gaps.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumblingStats streaming run equals the batch run") {
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "click", 2.0),
+      Event(3, ts(10), 2, "view", 3.0))
+    val batch = EventStreams.tumblingStats(
+      events.toDF(), windowLen = "10 minutes")
+      .collect().map(_.toSeq).toSet
+
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.tumblingStats(input.toDF(), "10 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions after the gap, keeps state per user") {
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.sessionize(input.toDS(), gapMinutes = 10)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      // user 1: two events 5 min apart (one session), then 30 min
+      // silence, then another event -> first session closes
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(35), 1, "view", 5.0))
+      q.processAllAvailable()
+      // advance event time far enough that the watermark passes the
+      // second session's timeout too
+      input.addData(Event(9, ts(59), 2, "view", 0.5))
+      q.processAllAvailable()
+      input.addData(Event(10, Timestamp.valueOf("2024-01-01 12:00:00"),
+        2, "view", 0.5))
+      q.processAllAvailable()
+
+      val sessions = spark.table("sessions_out").as[EventStreams.Session]
+        .collect().filter(_.user_id == 1).sortBy(_.session_start.getTime)
+      assert(sessions.length >= 1)
+      val first = sessions.head
+      assert(first.session_start == ts(0))
+      assert(first.session_end == ts(5))
+      assert(first.n_events == 2)
+      assert(first.sum_value == 3.0)
+    } finally q.stop()
+  }
+}
