@@ -62,10 +62,12 @@ object TextFunctions {
 
   /** Canonical content fingerprint: md5 of the sorted distinct
     * lowercase tokens — robust to token order and repetition (catches
-    * shuffled/near-identical documents in one exact groupBy).
+    * shuffled/near-identical documents in one exact groupBy). Computed
+    * by the one-pass TokenFingerprint expression; value-identical to
+    * md5(concat_ws(" ", array_sort(array_distinct(tokens(lower(c)))))).
     */
   def fingerprint(c: Column): Column =
-    md5(concat_ws(" ", array_sort(array_distinct(tokens(lower(c))))))
+    graft.functions.expressions.TokenFingerprint.tokenFingerprint(lower(c))
 
   /** Stopword sets for the language-ID heuristic (top function words). */
   val stopwords: Map[String, Seq[String]] = Map(

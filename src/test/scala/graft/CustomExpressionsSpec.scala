@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.functions.expressions.CustomExpressions._
+import graft.functions.expressions.TokenFingerprint.tokenFingerprint
+
+/** The custom Catalyst expressions must be value-identical to the
+  * composed built-in pipelines they replace — checked on edge cases
+  * (empty docs, short docs, repeated tokens, unicode) and on real
+  * corpus data.
+  */
+class CustomExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val samples = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a b",                       // shorter than the shingle length
+    "",                          // empty
+    "  padded   whitespace  ",
+    "dup dup dup dup",
+    "zz aa mm aa zz",            // needs sorting + dedup
+    "café naïve 中文 tokens")
+
+  test("MultiMinHash == per-seed array_min(transform(md5)) composition") {
+    val df = samples.toDF("text")
+    val sh = TextFunctions.shingles($"text", 3)
+    val composed = df.select(
+      (0 until 4).map(s => TextFunctions.minhashHex(sh, s).as(s"m$s")): _*)
+    val custom = df.select(
+      multiMinHash(TextFunctions.tokens($"text"), 4, 3).as("sig"))
+      .select((0 until 4).map(s => element_at($"sig", s + 1).as(s"m$s")): _*)
+    assert(custom.collect().toSeq == composed.collect().toSeq)
+  }
+
+  test("TokenFingerprint == md5(concat_ws(sort(distinct(tokens)))) composition") {
+    val df = samples.toDF("text")
+    val composed = df.select(md5(concat_ws(" ",
+      array_sort(array_distinct(TextFunctions.tokens(lower($"text")))))).as("fp"))
+    val custom = df.select(tokenFingerprint(lower($"text")).as("fp"))
+    assert(custom.collect().toSeq == composed.collect().toSeq)
+  }
+
+  test("SortedIntersectCount == size(array_intersect) on sorted distinct arrays") {
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq.empty[String], Seq("x")),
+      (Seq("a"), Seq.empty[String]),
+      (Seq("a", "b"), Seq("a", "b")),
+      (Seq("中", "a"), Seq("中"))).toDF("x", "y")
+    val composed = df.select(
+      size(array_intersect(array_sort($"x"), array_sort($"y"))).as("n"))
+    val custom = df.select(
+      sortedIntersectCount(array_sort($"x"), array_sort($"y")).as("n"))
+    assert(custom.collect().toSeq == composed.collect().toSeq)
+  }
+
+  test("expressions agree with composition on the real corpus") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val sh = TextFunctions.shingles($"text", 3)
+    val a = docs.select($"doc_id",
+      TextFunctions.minhashHex(sh, 0).as("m0"),
+      md5(concat_ws(" ", array_sort(array_distinct(
+        TextFunctions.tokens(lower($"text")))))).as("fp"))
+      .orderBy($"doc_id").collect().toSeq
+    val b = docs.select($"doc_id",
+      element_at(multiMinHash(TextFunctions.tokens($"text"), 1, 3), 1).as("m0"),
+      tokenFingerprint(lower($"text")).as("fp"))
+      .orderBy($"doc_id").collect().toSeq
+    assert(a == b)
+  }
+}
