@@ -14,7 +14,8 @@ object SparkEntry {
 
   /** Every query catalog in the engine. Order matters only for display. */
   val catalogs: Seq[Catalog] = Seq(
-    CoreQueries, TextQueries, DedupQueries, SimilarityQueries, EventQueries)
+    CoreQueries, CoreQueries2, TextQueries, DedupQueries,
+    SimilarityQueries, EventQueries)
 
   private lazy val allQueries: Seq[Q] = catalogs.flatMap(_.queries)
 
