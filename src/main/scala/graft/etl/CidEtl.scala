@@ -172,39 +172,35 @@ object CidEtl {
 
     // J3: category → first containing block range, then first
     // containing chapter range (independent first-matches, like the two
-    // separate dict scans in the reference).
+    // separate dict scans in the reference). firstMatchByCase compiles
+    // the tiny ranges into a first-match CASE chain, so the probe side
+    // is never shuffled — at scale this is a pure map + broadcast
+    // lookup instead of a repartition-per-key row_number.
     val cats0 = categoriesRaw.select(
       upper(trim(col("CAT").cast("string"))).as("category_code"),
       trim(col("DESCRICAO").cast("string")).as("category_title"))
-    val withBlock = RangeJoin.firstMatch(
+    def contains(value: org.apache.spark.sql.Column, lo: String, hi: String) =
+      (r: org.apache.spark.sql.Row) =>
+        value.between(lit(r.getAs[String](lo)), lit(r.getAs[String](hi)))
+    val withBlock = RangeJoin.firstMatchByCase(
       cats0, blockRanges.select("b_start", "b_end", "block_id", "__ord"),
-      col("category_code"), col("b_start"), col("b_end"),
-      leftKey = Seq("category_code"), rangeOrder = col("__ord"))
-      .drop("b_start", "b_end", "__ord")
-    val categories = RangeJoin.firstMatch(
+      "__ord", contains(col("category_code"), "b_start", "b_end"))
+      .drop("b_start", "b_end")
+    val categories = RangeJoin.firstMatchByCase(
       withBlock,
       chapterRanges.select("c_start", "c_end", "chapter_code", "__ord"),
-      col("category_code"), col("c_start"), col("c_end"),
-      leftKey = Seq("category_code"), rangeOrder = col("__ord"))
-      .drop("c_start", "c_end", "__ord")
+      "__ord", contains(col("category_code"), "c_start", "c_end"))
       .select("category_code", "category_title", "block_id", "chapter_code")
 
-    // J4: block → first chapter range containing either bound.
-    val blockChapter = blockRanges.as("b").join(
-        broadcast(chapterRanges.as("c")),
-        (col("b.b_start").between(col("c.c_start"), col("c.c_end"))
-          || col("b.b_end").between(col("c.c_start"), col("c.c_end"))),
-        "left")
-    val blocks = {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("b.block_id"), col("b.__ord"))
-        .orderBy(col("c.__ord").asc_nulls_first)
-      blockChapter.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("b.block_id").as("block_id"),
-                col("b.block_title").as("block_title"),
-                col("c.chapter_code").as("chapter_code"))
-    }
+    // J4: block → first chapter range containing either bound (the
+    // reference's OR predicate, etl_cid10.py:317-325).
+    val blocks = RangeJoin.firstMatchByCase(
+        blockRanges,
+        chapterRanges.select("c_start", "c_end", "chapter_code", "__ord"),
+        "__ord",
+        r => contains(col("b_start"), "c_start", "c_end")(r)
+          || contains(col("b_end"), "c_start", "c_end")(r))
+      .select(col("block_id"), col("block_title"), col("chapter_code"))
 
     // Subcategories: fixed-width dot insertion + 3-char category key.
     val tituloCol =

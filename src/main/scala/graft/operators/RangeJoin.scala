@@ -43,6 +43,37 @@ object RangeJoin {
       .drop("__rn")
   }
 
+  /** Map-only first-match for a CATALOG-SIZED ranges side: the ranges
+    * are collected (same size contract as a broadcast build side) and
+    * compiled into a first-match CASE chain
+    * `WHEN pred(range_0) THEN 0 WHEN pred(range_1) THEN 1 …` evaluated
+    * per probe row — a literal transcription of the reference's
+    * first-match break loop (etl_cid10.py:303-310) — followed by one
+    * broadcast equi-join on the matched ordinal to attach the range's
+    * payload columns.
+    *
+    * Unlike [[firstMatch]], the probe side is never shuffled: at 100 TB
+    * probe scale the row_number variant repartitions the whole fact
+    * table on the left key just to deduplicate matches, while this is
+    * a pure map + broadcast lookup. `pred` builds the containment
+    * predicate for one collected range row (allowing OR-of-bounds
+    * forms like J4's).
+    */
+  def firstMatchByCase(
+      left: DataFrame,
+      ranges: DataFrame,
+      ordCol: String,
+      pred: org.apache.spark.sql.Row => Column): DataFrame = {
+    val collected = ranges.collect().sortBy(_.getAs[Long](ordCol))
+    val chain = collected.foldRight(lit(null).cast("long")) { (row, acc) =>
+      when(pred(row), lit(row.getAs[Long](ordCol))).otherwise(acc)
+    }
+    val r = ranges.withColumnRenamed(ordCol, "__range_ord")
+    left.withColumn("__matched_ord", chain)
+      .join(broadcast(r), col("__matched_ord") === col("__range_ord"), "left")
+      .drop("__matched_ord", "__range_ord")
+  }
+
   /** Scale path for a ranges side too large to broadcast: both sides are
     * expanded to coarse buckets (every bucket a range overlaps), then
     * equi-joined on the bucket and filtered by the exact containment
