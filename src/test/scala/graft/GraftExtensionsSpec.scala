@@ -1,0 +1,30 @@
+package graft
+
+import graft.plans.GraftExtensions
+
+/** The custom expressions must be reachable from plain SQL text. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("registered functions evaluate from spark.sql") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  token_fingerprint('b a b') AS fp,
+        |  md5('a b') AS expected_fp,
+        |  sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS n,
+        |  element_at(multi_min_hash(array('x','y','z'), 2, 3), 1) AS m0,
+        |  md5('0:x y z') AS expected_m0
+        |""".stripMargin).collect()(0)
+    assert(row.getAs[String]("fp") == row.getAs[String]("expected_fp"))
+    assert(row.getAs[Int]("n") == 2)
+    assert(row.getAs[String]("m0") == row.getAs[String]("expected_m0"))
+  }
+
+  test("extensions class injects the same functions at session build") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; builders wired
+    assert(GraftExtensions.functions.map(_._1).toSet ==
+      Set("multi_min_hash", "sorted_intersect_count",
+          "sorted_intersect_count_long", "token_fingerprint"))
+  }
+}
