@@ -25,6 +25,11 @@ object RangeJoin {
   /** Left-joins `left` to `ranges` where lo <= value <= hi; when several
     * ranges match, keeps the first under `rangeOrder`. Unmatched left
     * rows survive with nulls (their single null-extended row ranks 1).
+    *
+    * Duplicate left rows are preserved (the reference maps per row):
+    * the dedup window partitions on a generated per-row id, not on a
+    * user key — `leftKey` remains only as the shuffle hint for plans
+    * that want key-partitioned output downstream.
     */
   def firstMatch(
       left: DataFrame,
@@ -34,13 +39,14 @@ object RangeJoin {
       hi: Column,
       leftKey: Seq[String],
       rangeOrder: Column): DataFrame = {
-    val joined = left.join(
+    val withId = left.withColumn("__row_id", monotonically_increasing_id())
+    val joined = withId.join(
       broadcast(ranges), value >= lo && value <= hi, "left")
-    val w = Window.partitionBy(leftKey.map(col): _*)
+    val w = Window.partitionBy(col("__row_id"))
       .orderBy(rangeOrder.asc_nulls_first)
     joined.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn")
+      .drop("__rn", "__row_id")
   }
 
   /** Map-only first-match for a CATALOG-SIZED ranges side: the ranges

@@ -111,6 +111,17 @@ object CoreQueries2 extends Catalog {
              |  regexp_matches(p_name, 'o.*o') AS double_o
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // skew-proof two-phase distinct count — must equal the plain
+    // COUNT(DISTINCT) the oracle runs
+    Q("q35_salted_distinct",
+      (s, dir) => graft.operators.SkewJoin.saltedDistinctCount(
+          Tables.load(s, dir, "lineitem"), "l_returnflag", "l_partkey",
+          salts = 8)
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_distinct
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // scalar subquery: orders above the average price; the average is
     // decimal-summed so both engines filter on the identical double
     Q("q34_scalar_subquery",
