@@ -68,6 +68,90 @@ object Similarity {
               col("cos"), col("rank"))
   }
 
+  /** Mini k-means for IVF coarse quantization: deterministic init (the
+    * k lowest-id vectors), fixed iteration count, decimal-free but
+    * deterministic mean updates (sum order fixed by sorting member ids
+    * per centroid is unnecessary — means feed only the bucketing, not
+    * the oracle). Returns (centroid_id, centroid: array<double>).
+    *
+    * Scale: each iteration is one broadcast (centroids) + one map
+    * (assign) + one shuffle (groupBy centroid for the means) — the
+    * textbook distributed Lloyd step.
+    */
+  def trainCentroids(corpus: DataFrame, id: String, vec: String,
+                     k: Int, iters: Int): DataFrame = {
+    val v = corpus.select(col(id).as("cid"), toDoubles(col(vec)).as("v"))
+    var centroids = v.orderBy(col("cid")).limit(k)
+      .select(col("cid").as("centroid_id"), col("v").as("centroid"))
+    for (_ <- 0 until iters) {
+      val assigned = assignToCentroid(v, centroids, "v")
+      centroids = assigned
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("centroid_id"), col("dim"))
+        // decimal-summed mean: centroid values must not drift by
+        // partition order or assignments (and thus results) would be
+        // nondeterministic run to run
+        .agg((sum(col("x").cast(
+            org.apache.spark.sql.types.DecimalType(38, 18)))
+          .cast("double") / count(col("x"))).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m"))))
+          .as("dm"))
+        .select(col("centroid_id"),
+          transform(col("dm"), s => s.getField("m")).as("centroid"))
+    }
+    centroids
+  }
+
+  /** Nearest centroid per row by cosine (broadcast centroids). */
+  private def assignToCentroid(rows: DataFrame, centroids: DataFrame,
+                               vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = rows.crossJoin(broadcast(centroids))
+      .withColumn("d", cosine(col(vecCol), col("centroid")))
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("d").desc, col("centroid_id"))
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "d", "centroid")
+  }
+
+  /** IVF (inverted-file) approximate top-k: the corpus is partitioned
+    * into centroid lists once; each query probes its `nprobe` nearest
+    * centroids and scores only those lists. Same plan shape as lshTopK
+    * with learned buckets instead of sign bits — recall/cost tunable
+    * via (k centroids, nprobe).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, id: String,
+              vec: String, k: Int, centroids: DataFrame, nprobe: Int,
+              roundTo: Int = 9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = assignToCentroid(
+      corpus.select(col(id).as("cid"), toDoubles(col(vec)).as("v")),
+      centroids, "v")
+      .select(col("cid").as("neighbor_id"), col("v").as("cv"),
+              col("centroid_id"))
+    // each query picks its nprobe closest centroids
+    val qAssign = queries.select(col(id).as("qid"), toDoubles(col(vec)).as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d", cosine(col("qv"), col("centroid")))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("d").desc, col("centroid_id"))
+    val q = qAssign.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid").as("query_id"), col("qv"), col("centroid_id"))
+    val scored = broadcast(q).join(c, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dot(col("qv"), col("cv")) /
+        (l2Norm(col("qv")) * l2Norm(col("cv"))), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("centroid_id"),
+              col("cos"), col("rank"))
+  }
+
   /** All pairs above a cosine threshold (embedding near-dup detection).
     * Exact O(n²) within — use only on bounded corpora or behind LSH
     * blocking; kept exact here as the correctness baseline.

@@ -62,6 +62,70 @@ object EventQueries extends Catalog {
              |  COUNT(*) AS n_events
              |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // sliding event-time windows (1h length, 30min slide) via Spark's
+    // native window(); the oracle enumerates the two covering window
+    // starts per event with integer-microsecond arithmetic
+    Q("q64_events_sliding",
+      (s, dir) => Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+                col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type")),
+      Some(s"""WITH w AS (
+              |  SELECT event_type, value,
+              |    make_timestamp(unnest([
+              |      epoch_us(ts) - epoch_us(ts) % 1800000000,
+              |      epoch_us(ts) - epoch_us(ts) % 1800000000 - 1800000000
+              |    ])) AS window_start
+              |  FROM events)
+              |SELECT window_start, event_type, COUNT(*) AS n,
+              |  ${Catalog.dsum("value")} AS sum_value
+              |FROM w GROUP BY 1, 2
+              |ORDER BY window_start, event_type""".stripMargin)),
+
+    // full session boundaries: gap>30min starts a session; session id =
+    // running count of session starts (exact oracle for the stateful
+    // sessionizer's batch semantics)
+    Q("q65_events_sessions",
+      (s, dir) => {
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        Tables.load(s, dir, "events")
+          .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("new_sess",
+            when(lag(col("us"), 1).over(wOrd).isNull
+              || col("us") - lag(col("us"), 1).over(wOrd) > 1800L * 1000000L,
+              1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_sess")).over(wRun))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(col("ts")).as("session_start"),
+               max(col("ts")).as("session_end"),
+               count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH marked AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             |    THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id, ts,
+             |    CAST(SUM(new_sess) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS session_id
+             |  FROM marked)
+             |SELECT user_id, session_id,
+             |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+             |  COUNT(*) AS n_events
+             |FROM sess GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
     // semi-structured props: extract numeric field via portable regex
     Q("q62_events_props",
       (s, dir) => Tables.load(s, dir, "events")

@@ -72,6 +72,24 @@ object SimilarityQueries extends Catalog {
               |SELECT query_id, neighbor_id, bucket, cos, rank FROM ranked
               |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)),
 
+    // IVF: k-means coarse quantization + probe-limited search. Not
+    // SQL-expressible (iterative training) -> no oracle; the driver
+    // records a rows-only check and SimilaritySpec pins recall vs
+    // brute force + run-to-run determinism.
+    Q("q54_ann_ivf",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val centroids = Similarity.trainCentroids(
+          e, "vec_id", "embedding", k = 8, iters = 3)
+        Similarity.ivfTopK(
+            e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+            k = K, centroids = centroids, nprobe = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None,
+      bench = false), // dominated by index BUILD (k-means) — an
+                      // offline cost, not per-query latency
+
     Q("q52_embedding_near_dup",
       (s, dir) => Similarity.cosinePairs(
           Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
