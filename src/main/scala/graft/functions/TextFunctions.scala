@@ -98,6 +98,18 @@ object TextFunctions {
     }
   }
 
+  /** Subword-ish token count: a simplified GPT-2-style pre-tokenizer
+    * regex (contraction suffixes, letter runs, digit runs, punctuation
+    * runs — no lookahead, so it is portable between Java regex and
+    * DuckDB's RE2). Counts matches, approximating BPE pre-token count;
+    * the usual cheap proxy for LLM token budgeting at corpus scale.
+    */
+  val bpeTokenPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(bpeTokenPattern), lit(0)))
+
   /** Punctuation character ratio over total length (0 for empty). */
   def punctRatio(c: Column): Column = {
     val len = length(c)

@@ -73,8 +73,7 @@ object Multimodal {
   }
 
   /** Split oversized payloads into fixed-size chunk rows so one giant
-    * asset cannot skew a partition (frame-sampling for video follows
-    * the same pattern with a stride).
+    * asset cannot skew a partition.
     */
   def chunk(assets: Dataset[MediaAsset], chunkBytes: Int)
       : DataFrame = {
@@ -84,5 +83,21 @@ object Multimodal {
         (a.asset_id, i, bytes)
       }
     }.toDF("asset_id", "chunk_id", "chunk")
+  }
+
+  /** Frame sampling: keep every `stride`-th fixed-size frame of the
+    * payload (for video this is the decode-every-Nth-frame pattern; the
+    * frame boundary here is a byte window since the real codec is
+    * stubbed). Map-only, skew-bounded like chunk().
+    */
+  def sampleFrames(assets: Dataset[MediaAsset], frameBytes: Int,
+                   stride: Int): DataFrame = {
+    import assets.sparkSession.implicits._
+    require(stride > 0)
+    assets.flatMap { a =>
+      a.payload.grouped(frameBytes).zipWithIndex.collect {
+        case (bytes, i) if i % stride == 0 => (a.asset_id, i, bytes)
+      }
+    }.toDF("asset_id", "frame_id", "frame")
   }
 }

@@ -103,6 +103,21 @@ object TextQueries extends Catalog {
               |  list_min(sh) AS min_shingle
               |FROM s ORDER BY doc_id""".stripMargin)),
 
+    // subword-ish token counting (LLM token budgeting proxy)
+    Q("q36_bpe_tokens",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          bpeTokenCount(col("text")).as("n_bpe_tokens"),
+          tokenCount(col("text")).as("n_ws_tokens"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  CAST(len(regexp_extract_all(text,
+              |    '${bpeTokenPattern.replace("'", "''")}')) AS INTEGER)
+              |    AS n_bpe_tokens,
+              |  CAST(len($duckToks) AS INTEGER) AS n_ws_tokens
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // multimodal plumbing tier-0: opaque binary payload + typed metadata
     Q("q70_binary_meta",
       (s, dir) => Tables.load(s, dir, "documents")

@@ -33,6 +33,19 @@ class MultimodalSpec extends SparkSpec {
     assert(h._3.sum == h._1) // histogram covers every byte
   }
 
+  test("frame sampling keeps every stride-th frame only") {
+    val assets = Multimodal.assetsFromDocuments(docs)
+    val frames = Multimodal.sampleFrames(assets, frameBytes = 50, stride = 3)
+      .select($"asset_id", $"frame_id")
+      .as[(Long, Int)].collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_._2 % 3 == 0))
+    val chunks = Multimodal.chunk(assets, 50)
+      .select($"asset_id", $"chunk_id").as[(Long, Int)].collect()
+    val expected = chunks.filter(_._2 % 3 == 0).toSet
+    assert(frames.toSet == expected)
+  }
+
   test("chunking splits payloads without losing bytes") {
     val assets = Multimodal.assetsFromDocuments(docs)
     val chunks = Multimodal.chunk(assets, chunkBytes = 100)
