@@ -15,8 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Explicit whitespace class — Java regex \s includes vertical tab,
+    * RE2 (DuckDB) \s does not; spelling it out keeps tokenization
+    * identical in both engines. */
+  val wsClass: String = "[ \\t\\n\\x0B\\f\\r]"
+
   /** Whitespace tokenization of trimmed text. */
-  def tokens(c: Column): Column = split(trim(c), "\\s+")
+  def tokens(c: Column): Column = split(trim(c), wsClass + "+")
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
@@ -105,7 +110,8 @@ object TextFunctions {
     * the usual cheap proxy for LLM token budgeting at corpus scale.
     */
   val bpeTokenPattern: String =
-    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+" +
+      "| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+"
 
   def bpeTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit(bpeTokenPattern), lit(0)))

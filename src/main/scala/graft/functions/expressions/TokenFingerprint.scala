@@ -28,7 +28,8 @@ case class TokenFingerprint(child: Expression)
   override def dataType: DataType = StringType
   override def prettyName: String = "token_fingerprint"
 
-  @transient private lazy val ws = Pattern.compile("\\s+")
+  @transient private lazy val ws =
+    Pattern.compile(graft.functions.TextFunctions.wsClass + "+")
 
   override protected def nullSafeEval(input: Any): Any = {
     // trim like Spark's trim(): leading/trailing ' ' only

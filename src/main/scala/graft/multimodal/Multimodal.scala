@@ -78,6 +78,7 @@ object Multimodal {
   def chunk(assets: Dataset[MediaAsset], chunkBytes: Int)
       : DataFrame = {
     import assets.sparkSession.implicits._
+    require(chunkBytes > 0, "chunkBytes must be positive")
     assets.flatMap { a =>
       a.payload.grouped(chunkBytes).zipWithIndex.map { case (bytes, i) =>
         (a.asset_id, i, bytes)
@@ -92,12 +93,9 @@ object Multimodal {
     */
   def sampleFrames(assets: Dataset[MediaAsset], frameBytes: Int,
                    stride: Int): DataFrame = {
-    import assets.sparkSession.implicits._
-    require(stride > 0)
-    assets.flatMap { a =>
-      a.payload.grouped(frameBytes).zipWithIndex.collect {
-        case (bytes, i) if i % stride == 0 => (a.asset_id, i, bytes)
-      }
-    }.toDF("asset_id", "frame_id", "frame")
+    require(stride > 0, "stride must be positive")
+    chunk(assets, frameBytes)
+      .filter(org.apache.spark.sql.functions.col("chunk_id") % stride === 0)
+      .toDF("asset_id", "frame_id", "frame")
   }
 }

@@ -17,7 +17,8 @@ object DedupQueries extends Catalog {
   private val Bands = 4
   private val Rows = NumHashes / Bands
 
-  private val duckToks = raw"regexp_split_to_array(trim(text), '\s+')"
+  private val duckToks = s"regexp_split_to_array(trim(text), " +
+    s"'${graft.functions.TextFunctions.wsClass}+')"
 
   /** Shared DuckDB CTE: doc_id + 3-gram shingles. */
   private val duckShingleCte =
@@ -55,7 +56,8 @@ object DedupQueries extends Catalog {
               |  COUNT(*) AS n_copies
               |FROM (SELECT doc_id,
               |  md5(array_to_string(list_sort(list_distinct(
-              |    regexp_split_to_array(trim(lower(text)), '\\s+'))), ' ')) AS fp
+              |    regexp_split_to_array(trim(lower(text)),
+              |      '${graft.functions.TextFunctions.wsClass}+'))), ' ')) AS fp
               |  FROM documents) t
               |GROUP BY fp HAVING COUNT(*) > 1
               |ORDER BY content_hash""".stripMargin)),

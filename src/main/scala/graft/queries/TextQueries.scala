@@ -14,9 +14,12 @@ import graft.functions.TextFunctions._
   */
 object TextQueries extends Catalog {
 
-  /** DuckDB token array for `text` (mirror of TextFunctions.tokens). */
-  private val duckToks = raw"regexp_split_to_array(trim(text), '\s+')"
-  private val duckToksLower = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
+  /** DuckDB token array for `text` (mirror of TextFunctions.tokens,
+    * same explicit whitespace class). */
+  private val ws = graft.functions.TextFunctions.wsClass
+  private val duckToks = s"regexp_split_to_array(trim(text), '$ws+')"
+  private val duckToksLower =
+    s"regexp_split_to_array(trim(lower(text)), '$ws+')"
 
   private def duckHits(set: Seq[String]): String = {
     val in = set.map(s => s"'$s'").mkString(", ")
