@@ -143,6 +143,40 @@ object EventQueries extends Catalog {
              |FROM events GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
 
+    // as-of join: each click attaches the latest prior purchase of the
+    // same user (DuckDB's native ASOF JOIN is the oracle for the
+    // engine's composed union-carry-forward operator)
+    Q("q66_asof_join",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val purchases = graft.operators.PriorityDedup(
+            e.filter(col("event_type") === "purchase"),
+            keys = Seq("user_id", "ts"),
+            priority = Seq(col("event_id").desc))
+          .select(col("user_id"), col("ts"),
+                  col("event_id").as("p_event_id"),
+                  col("value").as("p_value"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        graft.operators.AsOfJoin.asOf(clicks, purchases, "user_id", "ts",
+            Seq("p_event_id", "p_value"))
+          .orderBy(col("user_id"), col("ts"), col("event_id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, ts, event_id AS p_event_id, value AS p_value
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+             |          ORDER BY event_id DESC) AS rn
+             |        FROM events WHERE event_type = 'purchase') t
+             |  WHERE rn = 1),
+             |c AS (SELECT event_id, user_id, ts, value FROM events
+             |      WHERE event_type = 'click')
+             |SELECT c.event_id, c.user_id, c.ts, c.value,
+             |  p.p_event_id AS asof_p_event_id,
+             |  p.p_value AS asof_p_value
+             |FROM c ASOF LEFT JOIN p
+             |  ON c.user_id = p.user_id AND c.ts >= p.ts
+             |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin)),
+
     // top event type per user (count desc, type asc tiebreak)
     Q("q63_events_top_type",
       (s, dir) => {
