@@ -41,6 +41,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append-mode windows drop data later than the watermark") {
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.tumblingStats(input.toDF(),
+        windowLen = "10 minutes", watermark = "5 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      input.addData(Event(1, ts(0), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance event time far past the first window + watermark so the
+      // [10:00, 10:10) window finalizes and emits
+      input.addData(Event(2, ts(40), 1, "click", 1.0))
+      q.processAllAvailable()
+      val afterClose = spark.table("late_out")
+        .collect().map(_.getTimestamp(0)).toSet
+      assert(afterClose.contains(ts(0)))
+      // this event belongs to the already-finalized window and is
+      // older than the watermark -> must be dropped, not re-emitted
+      input.addData(Event(3, ts(2), 1, "click", 100.0))
+      q.processAllAvailable()
+      val rows = spark.table("late_out")
+        .filter($"window_start" === ts(0)).collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[Long]("n") == 1) // late row did not count
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions after the gap, keeps state per user") {
     val input = MemoryStream[Event](spark)
     val q = EventStreams.sessionize(input.toDS(), gapMinutes = 10)
