@@ -111,6 +111,27 @@ object CoreQueries2 extends Catalog {
              |  regexp_matches(p_name, 'o.*o') AS double_o
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // interpolated percentiles over an integer-valued measure (the
+    // interpolation grid stays exactly representable, so Spark's
+    // percentile and DuckDB's quantile_cont agree; rounded to absorb
+    // formula-order ULPs)
+    Q("q37_percentiles",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+             |  ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+             |  MIN(l_quantity) AS min_qty,
+             |  MAX(l_quantity) AS max_qty
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // skew-proof two-phase distinct count — must equal the plain
     // COUNT(DISTINCT) the oracle runs
     Q("q35_salted_distinct",
