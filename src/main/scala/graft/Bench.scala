@@ -15,7 +15,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -23,10 +24,11 @@ object Bench {
     val names = SparkEntry.benchQueries.sorted
     val fns = SparkEntry.queries
 
-    // warmup: exercise scan + shuffle + codegen paths once
-    try fns(names.head)(spark, sfDir).count() catch { case _: Throwable => }
-
+    // warm methodology, symmetric with tools/bench_baseline.py: each
+    // query runs once to warm (plan cache, file footers, codegen),
+    // then the second execution is timed
     val results = names.map { name =>
+      try fns(name)(spark, sfDir).count() catch { case _: Throwable => }
       val t0 = System.nanoTime()
       try { fns(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
