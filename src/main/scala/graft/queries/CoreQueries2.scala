@@ -111,6 +111,30 @@ object CoreQueries2 extends Catalog {
              |  regexp_matches(p_name, 'o.*o') AS double_o
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // correlated scalar subquery: parts priced above their brand's
+    // average (decimal-averaged; Spark expresses it as a window
+    // aggregate — the decorrelated plan — the oracle as the correlated
+    // form)
+    Q("q38_correlated_subquery",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("p_brand"))
+        Tables.load(s, dir, "part")
+          .withColumn("brand_avg",
+            sum(col("p_retailprice").cast(DecimalType(30, 8))).over(w)
+              .cast("double") / count(col("p_retailprice")).over(w))
+          .filter(col("p_retailprice") > col("brand_avg"))
+          .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, p_brand, p_retailprice
+             |FROM part p
+             |WHERE p_retailprice > (
+             |  SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(30,8))) AS DOUBLE)
+             |         / COUNT(p2.p_retailprice)
+             |  FROM part p2 WHERE p2.p_brand = p.p_brand)
+             |ORDER BY p_partkey""".stripMargin)),
+
     // interpolated percentiles over an integer-valued measure (the
     // interpolation grid stays exactly representable, so Spark's
     // percentile and DuckDB's quantile_cont agree; rounded to absorb
