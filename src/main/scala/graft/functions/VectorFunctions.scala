@@ -25,6 +25,25 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Symmetric int8 quantization for embedding storage: each vector is
+    * scaled by 127/max|x| and rounded; dequantize reverses it. 4x
+    * smaller storage for ANN candidate generation — the standard
+    * training-data-pipeline trade (exact rerank happens on the float
+    * vectors). scaleOf is exposed so both steps share the factor.
+    */
+  def scaleOf(a: Column): Column =
+    aggregate(toDoubles(a), lit(0.0), (acc, v) => greatest(acc, abs(v)))
+
+  def quantize(a: Column): Column = {
+    val s = scaleOf(a)
+    transform(toDoubles(a),
+      x => when(s > 0, round(x * lit(127.0) / s).cast("int"))
+        .otherwise(lit(0)))
+  }
+
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale / lit(127.0))
+
   /** Sign-bit LSH bucket from the first `nbits` dimensions
     * (axis-aligned random-projection hashing): bucket =
     * Σ (v[i] > 0) << i. Cheap, deterministic, and oracle-expressible;

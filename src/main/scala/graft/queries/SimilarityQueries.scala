@@ -103,6 +103,47 @@ object SimilarityQueries extends Catalog {
               |ORDER BY id_a, id_b""".stripMargin),
       bench = false), // O(n²) exact pair scan — not a headline op
 
+    // int8 embedding quantization: 4x smaller storage for candidate
+    // generation; reconstruction error bounded and oracle-checked
+    Q("q55_quantize",
+      (s, dir) => {
+        val v = toDoubles(col("embedding"))
+        val sc = scaleOf(col("embedding"))
+        val q = quantize(col("embedding"))
+        val deq = dequantize(q, sc)
+        val err = sqrt(aggregate(
+          zip_with(deq, v, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+        Tables.load(s, dir, "embeddings").select(
+          col("vec_id"),
+          round(sc, 9).as("scale"),
+          element_at(q, 1).as("q1"),
+          element_at(q, 2).as("q2"),
+          round(err, 6).as("recon_err"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |sc AS (
+             |  SELECT vec_id, v,
+             |    list_max(list_transform(v, x -> abs(x))) AS s
+             |  FROM e),
+             |qz AS (
+             |  SELECT vec_id, v, s,
+             |    list_transform(v, x -> CASE WHEN s > 0
+             |      THEN CAST(round(x * 127.0 / s) AS INT) ELSE 0 END) AS q
+             |  FROM sc),
+             |dq AS (
+             |  SELECT vec_id, v, s, q,
+             |    list_transform(q, x -> CAST(x AS DOUBLE) * s / 127.0) AS deq
+             |  FROM qz)
+             |SELECT vec_id, ROUND(s, 9) AS scale,
+             |  q[1] AS q1, q[2] AS q2,
+             |  ROUND(sqrt(list_sum(list_transform(range(1, len(v)+1),
+             |    i -> (deq[i] - v[i]) * (deq[i] - v[i])))), 6) AS recon_err
+             |FROM dq ORDER BY vec_id""".stripMargin)),
+
     Q("q53_vector_stats",
       (s, dir) => Tables.load(s, dir, "embeddings")
         .select(
