@@ -116,6 +116,35 @@ object TextFunctions {
   def bpeTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit(bpeTokenPattern), lit(0)))
 
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1,
+    * simplified): each violated rule sets a bit in the reason mask;
+    * keep = mask == 0. Thresholds as columns-of-literals so the DuckDB
+    * oracle mirrors exactly.
+    *
+    * bit 0: too few / too many tokens (< 50 or > 100k)
+    * bit 1: mean token length outside [3, 10]
+    * bit 2: symbol ratio too high (> 0.1)
+    * bit 3: no English stopword at all
+    * bit 4: too repetitive (distinct-token ratio < 0.2)
+    */
+  def qualityMask(c: Column): Column = {
+    val t = tokens(c)
+    val n = size(t)
+    val avgLen = when(n > 0,
+      length(concat_ws("", t)).cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+    val symRatio = punctRatio(c)
+    val distinctRatio = when(n > 0,
+      size(array_distinct(t)).cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+    val hits = stopwordHits(c, stopwords("en"))
+    when(n < 50 || n > 100000, 1).otherwise(0) +
+      when(avgLen < 3.0 || avgLen > 10.0, 2).otherwise(0) +
+      when(symRatio > 0.1, 4).otherwise(0) +
+      when(hits === 0, 8).otherwise(0) +
+      when(distinctRatio < 0.2, 16).otherwise(0)
+  }
+
   /** Punctuation character ratio over total length (0 for empty). */
   def punctRatio(c: Column): Column = {
     val len = length(c)

@@ -106,6 +106,34 @@ object TextQueries extends Catalog {
               |  list_min(sh) AS min_shingle
               |FROM s ORDER BY doc_id""".stripMargin)),
 
+    // Gopher-style quality filter: keep flag + violated-rule bitmask
+    Q("q39_quality_filter",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .withColumn("reason_mask", qualityMask(col("text")))
+        .select(col("doc_id"), col("reason_mask"),
+                (col("reason_mask") === 0).as("keep"))
+        .orderBy(col("doc_id")),
+      Some {
+        val n = s"len($duckToks)"
+        val avgLen = s"(CASE WHEN $n > 0 THEN CAST(len(array_to_string($duckToks, '')) AS DOUBLE) / $n ELSE 0.0 END)"
+        val symRatio = s"""(CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END)"""
+        val distinctRatio = s"(CASE WHEN $n > 0 THEN CAST(len(list_distinct($duckToks)) AS DOUBLE) / $n ELSE 0.0 END)"
+        val hits = duckHits(stopwords("en"))
+        s"""SELECT doc_id,
+           |  CAST((CASE WHEN $n < 50 OR $n > 100000 THEN 1 ELSE 0 END)
+           |   + (CASE WHEN $avgLen < 3.0 OR $avgLen > 10.0 THEN 2 ELSE 0 END)
+           |   + (CASE WHEN $symRatio > 0.1 THEN 4 ELSE 0 END)
+           |   + (CASE WHEN $hits = 0 THEN 8 ELSE 0 END)
+           |   + (CASE WHEN $distinctRatio < 0.2 THEN 16 ELSE 0 END)
+           |   AS INTEGER) AS reason_mask,
+           |  ((CASE WHEN $n < 50 OR $n > 100000 THEN 1 ELSE 0 END)
+           |   + (CASE WHEN $avgLen < 3.0 OR $avgLen > 10.0 THEN 2 ELSE 0 END)
+           |   + (CASE WHEN $symRatio > 0.1 THEN 4 ELSE 0 END)
+           |   + (CASE WHEN $hits = 0 THEN 8 ELSE 0 END)
+           |   + (CASE WHEN $distinctRatio < 0.2 THEN 16 ELSE 0 END)) = 0 AS keep
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
     // subword-ish token counting (LLM token budgeting proxy)
     Q("q36_bpe_tokens",
       (s, dir) => Tables.load(s, dir, "documents")
