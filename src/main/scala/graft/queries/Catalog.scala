@@ -26,15 +26,43 @@ trait Catalog {
 }
 
 object Catalog {
-  /** Decimal-summed double aggregate, identical text in Spark SQL and
-    * DuckDB: CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE).
-    */
-  def dsum(x: String): String =
-    s"CAST(SUM(CAST($x AS DECIMAL(30,8))) AS DOUBLE)"
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{count, lit, sum}
+  import org.apache.spark.sql.types.DecimalType
 
-  /** Order-independent average: decimal sum cast to double, divided by
-    * count (double/int64 division of identical inputs is identical).
+  /** Money-grid decimal type. The test data's monetary columns are
+    * exactly 2-decimal-valued, so casting the double BEFORE any
+    * arithmetic lands both engines on the identical exact decimal.
+    * (Casting a computed double instead is NOT safe: Spark rounds the
+    * shortest decimal representation while DuckDB rounds the exact
+    * binary expansion, and with enough rows the per-row 1-ulp
+    * disagreements showed up in sf0.1 sums.)
     */
+  val Money: DecimalType = DecimalType(18, 2)
+
+  /** Spark-side grid snap. */
+  def m(c: Column): Column = c.cast(Money)
+
+  /** Exact decimal sum of a money column, surfaced as double. */
+  def dsumCol(c: Column): Column = sum(m(c)).cast("double")
+
+  /** Exact decimal revenue: sum(price * (1 - discount)) with both
+    * operands grid-snapped first (product stays exact decimal).
+    */
+  def drevenueCol(price: Column, discount: Column): Column =
+    sum(m(price) * (lit(1) - m(discount))).cast("double")
+
+  /** Order-independent exact average of a money column. */
+  def davgCol(c: Column): Column =
+    sum(m(c)).cast("double") / count(c)
+
+  /** DuckDB mirrors of the above. */
+  def dsum(x: String): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+
+  def drevenue(price: String, discount: String): String =
+    s"CAST(SUM(CAST($price AS DECIMAL(18,2)) * (1 - CAST($discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
   def davg(x: String): String =
-    s"(CAST(SUM(CAST($x AS DECIMAL(30,8))) AS DOUBLE) / COUNT($x))"
+    s"(CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE) / COUNT($x))"
 }

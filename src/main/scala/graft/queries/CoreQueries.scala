@@ -20,14 +20,7 @@ import graft.operators.{PriorityDedup, RangeJoin}
   */
 object CoreQueries extends Catalog {
 
-  /** sum(cast(x as decimal(30,8))) cast back to double — matches the
-    * oracle's CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE).
-    */
-  private def dsum(c: Column): Column =
-    sum(c.cast(DecimalType(30, 8))).cast("double")
-
-  private def davg(c: Column): Column =
-    sum(c.cast(DecimalType(30, 8))).cast("double") / count(c)
+  import Catalog.{dsumCol => dsum, davgCol => davg, drevenueCol}
 
   override val queries: Seq[Q] = Seq(
 
@@ -50,7 +43,7 @@ object CoreQueries extends Catalog {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          drevenueCol(col("l_extendedprice"), col("l_discount"))
             .as("sum_disc_price"),
           davg(col("l_quantity")).as("avg_qty"),
           count(lit(1)).as("count_order"))
@@ -58,7 +51,7 @@ object CoreQueries extends Catalog {
       Some(s"""SELECT l_returnflag, l_linestatus,
               |  ${Catalog.dsum("l_quantity")} AS sum_qty,
               |  ${Catalog.dsum("l_extendedprice")} AS sum_base_price,
-              |  ${Catalog.dsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+              |  ${Catalog.drevenue("l_extendedprice", "l_discount")} AS sum_disc_price,
               |  ${Catalog.davg("l_quantity")} AS avg_qty,
               |  COUNT(*) AS count_order
               |FROM lineitem
@@ -412,13 +405,13 @@ object CoreQueries extends Catalog {
         c.join(o, c("c_custkey") === o("o_custkey"))
           .join(l, o("o_orderkey") === l("l_orderkey"))
           .groupBy(col("o_orderkey"), col("o_orderdate"))
-          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .agg(drevenueCol(col("l_extendedprice"), col("l_discount"))
             .as("revenue"))
           .orderBy(col("revenue").desc, col("o_orderkey"))
           .limit(10)
       },
       Some(s"""SELECT o_orderkey, o_orderdate,
-              |  ${Catalog.dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+              |  ${Catalog.drevenue("l_extendedprice", "l_discount")} AS revenue
               |FROM customer
               |JOIN orders ON c_custkey = o_custkey
               |JOIN lineitem ON o_orderkey = l_orderkey

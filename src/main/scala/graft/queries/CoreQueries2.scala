@@ -11,8 +11,7 @@ import graft.Tables
   */
 object CoreQueries2 extends Catalog {
 
-  private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast(DecimalType(30, 8))).cast("double")
+  import Catalog.{dsumCol => dsum}
 
   override val queries: Seq[Q] = Seq(
 
@@ -121,7 +120,7 @@ object CoreQueries2 extends Catalog {
           .partitionBy(col("p_brand"))
         Tables.load(s, dir, "part")
           .withColumn("brand_avg",
-            sum(col("p_retailprice").cast(DecimalType(30, 8))).over(w)
+            sum(Catalog.m(col("p_retailprice"))).over(w)
               .cast("double") / count(col("p_retailprice")).over(w))
           .filter(col("p_retailprice") > col("brand_avg"))
           .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
@@ -130,7 +129,7 @@ object CoreQueries2 extends Catalog {
       Some("""SELECT p_partkey, p_brand, p_retailprice
              |FROM part p
              |WHERE p_retailprice > (
-             |  SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(30,8))) AS DOUBLE)
+             |  SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
              |         / COUNT(p2.p_retailprice)
              |  FROM part p2 WHERE p2.p_brand = p.p_brand)
              |ORDER BY p_partkey""".stripMargin)),
@@ -172,9 +171,7 @@ object CoreQueries2 extends Catalog {
     Q("q34_scalar_subquery",
       (s, dir) => {
         val o = Tables.load(s, dir, "orders")
-        val avgPrice = o.agg(
-          (sum(col("o_totalprice").cast(DecimalType(30, 8))).cast("double") /
-            count(col("o_totalprice"))).as("a"))
+        val avgPrice = o.agg(Catalog.davgCol(col("o_totalprice")).as("a"))
         o.join(broadcast(avgPrice))
           .filter(col("o_totalprice") > col("a"))
           .select(col("o_orderkey"), col("o_totalprice"))

@@ -11,8 +11,7 @@ import graft.Tables
   */
 object CoreQueries3 extends Catalog {
 
-  private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast(DecimalType(30, 8))).cast("double")
+  import Catalog.drevenueCol
 
   override val queries: Seq[Q] = Seq(
 
@@ -36,13 +35,13 @@ object CoreQueries3 extends Catalog {
           .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy(col("n_name"))
-          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .agg(drevenueCol(col("l_extendedprice"), col("l_discount"))
             .as("revenue"),
             count(lit(1)).as("n_items"))
           .orderBy(col("n_name"))
       },
       Some(s"""SELECT n_name,
-              |  ${Catalog.dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+              |  ${Catalog.drevenue("l_extendedprice", "l_discount")} AS revenue,
               |  COUNT(*) AS n_items
               |FROM customer
               |JOIN orders ON c_custkey = o_custkey

@@ -15,8 +15,7 @@ import graft.Tables
   */
 object EventQueries extends Catalog {
 
-  private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast(DecimalType(30, 8))).cast("double")
+  import Catalog.{dsumCol => dsum}
 
   override val queries: Seq[Q] = Seq(
 

@@ -93,6 +93,19 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drop repeated event_ids with bounded state
+    * (watermark evicts ids older than the horizon — the standard
+    * at-least-once ingest guard). Batch mode degrades to a plain
+    * dropDuplicates.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val withTs = events.withColumn("ts", col("ts").cast("timestamp"))
+    if (withTs.isStreaming)
+      withTs.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("event_id")
+    else withTs.dropDuplicates("event_id")
+  }
+
   /** Convenience: events parquet dir as a bounded stream (for tests and
     * replays — production would point readStream at a live source).
     */

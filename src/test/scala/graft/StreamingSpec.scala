@@ -68,6 +68,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated event ids across batches") {
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.dedupEvents(input.toDF(), watermark = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData(Event(1, ts(0), 1, "click", 1.0),
+                    Event(2, ts(1), 1, "view", 2.0))
+      q.processAllAvailable()
+      // same ids re-delivered in a later batch (at-least-once source)
+      input.addData(Event(1, ts(0), 1, "click", 1.0),
+                    Event(3, ts(2), 2, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out")
+        .select($"event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L)) // 1 delivered once
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions after the gap, keeps state per user") {
     val input = MemoryStream[Event](spark)
     val q = EventStreams.sessionize(input.toDS(), gapMinutes = 10)
