@@ -128,15 +128,10 @@ object TextFunctions {
     * bit 4: too repetitive (distinct-token ratio < 0.2)
     */
   def qualityMask(c: Column): Column = {
-    val t = tokens(c)
-    val n = size(t)
-    val avgLen = when(n > 0,
-      length(concat_ws("", t)).cast("double") / n.cast("double"))
-      .otherwise(lit(0.0))
+    val n = tokenCount(c)
+    val avgLen = avgTokenLen(c)
     val symRatio = punctRatio(c)
-    val distinctRatio = when(n > 0,
-      size(array_distinct(t)).cast("double") / n.cast("double"))
-      .otherwise(lit(0.0))
+    val distinctRatio = distinctTokenRatio(c)
     val hits = stopwordHits(c, stopwords("en"))
     when(n < 50 || n > 100000, 1).otherwise(0) +
       when(avgLen < 3.0 || avgLen > 10.0, 2).otherwise(0) +
@@ -151,6 +146,14 @@ object TextFunctions {
     when(len > 0,
         (len - length(regexp_replace(c, "[.,;:!?'\"()]", "")))
           .cast("double") / len.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Distinct-token ratio — a repetition signal (0 for empty docs). */
+  def distinctTokenRatio(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) > 0,
+        size(array_distinct(t)).cast("double") / size(t).cast("double"))
       .otherwise(lit(0.0))
   }
 

@@ -14,6 +14,9 @@ import graft.Tables
   */
 object EventQueries extends Catalog {
 
+  // events.value is exactly 2-decimal-valued in the test data (asserted
+  // by DataContractSpec), so the money-grid sum applies; off-grid metric
+  // data would need a different exact-aggregation strategy.
   import Catalog.{dsumCol => dsum}
 
   override val queries: Seq[Q] = Seq(

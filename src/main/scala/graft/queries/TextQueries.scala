@@ -119,19 +119,16 @@ object TextQueries extends Catalog {
         val symRatio = s"""(CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END)"""
         val distinctRatio = s"(CASE WHEN $n > 0 THEN CAST(len(list_distinct($duckToks)) AS DOUBLE) / $n ELSE 0.0 END)"
         val hits = duckHits(stopwords("en"))
-        s"""SELECT doc_id,
+        s"""WITH m AS (SELECT doc_id,
            |  CAST((CASE WHEN $n < 50 OR $n > 100000 THEN 1 ELSE 0 END)
            |   + (CASE WHEN $avgLen < 3.0 OR $avgLen > 10.0 THEN 2 ELSE 0 END)
            |   + (CASE WHEN $symRatio > 0.1 THEN 4 ELSE 0 END)
            |   + (CASE WHEN $hits = 0 THEN 8 ELSE 0 END)
            |   + (CASE WHEN $distinctRatio < 0.2 THEN 16 ELSE 0 END)
-           |   AS INTEGER) AS reason_mask,
-           |  ((CASE WHEN $n < 50 OR $n > 100000 THEN 1 ELSE 0 END)
-           |   + (CASE WHEN $avgLen < 3.0 OR $avgLen > 10.0 THEN 2 ELSE 0 END)
-           |   + (CASE WHEN $symRatio > 0.1 THEN 4 ELSE 0 END)
-           |   + (CASE WHEN $hits = 0 THEN 8 ELSE 0 END)
-           |   + (CASE WHEN $distinctRatio < 0.2 THEN 16 ELSE 0 END)) = 0 AS keep
-           |FROM documents ORDER BY doc_id""".stripMargin
+           |   AS INTEGER) AS reason_mask
+           |  FROM documents)
+           |SELECT doc_id, reason_mask, reason_mask = 0 AS keep
+           |FROM m ORDER BY doc_id""".stripMargin
       }),
 
     // subword-ish token counting (LLM token budgeting proxy)
