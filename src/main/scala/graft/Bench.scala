@@ -11,13 +11,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus)
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -26,17 +22,30 @@ object Bench {
 
     // warm methodology, symmetric with tools/bench_baseline.py: each
     // query runs once to warm (plan cache, file footers, codegen),
-    // then the second execution is timed
-    val results = names.map { name =>
-      try fns(name)(spark, sfDir).count() catch { case _: Throwable => }
-      val t0 = System.nanoTime()
-      try { fns(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // then the MEDIAN of 3 timed executions is reported — single-run
+    // numbers at sf0.1 swing ±1-2 s with ambient load, medians keep
+    // the round-over-round comparison stable.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val results: Seq[(String, Option[Double])] = names.map { name =>
+      def once(): Option[Double] =
+        try {
+          val t0 = System.nanoTime()
+          fns(name)(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
+      once() // warm
+      val timed = (1 to runs).flatMap(_ => once()).sorted
+      // a query that threw is reported as -1 and listed in "failed",
+      // never as a near-zero time that silently improves the total
+      name -> (if (timed.size == runs) Some(timed(runs / 2)) else None)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val failed = results.collect { case (n, None) => n }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.getOrElse(-1.0) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total =
+      if (failed.nonEmpty) -1.0 else results.flatMap(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

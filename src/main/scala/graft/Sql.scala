@@ -17,13 +17,8 @@ object Sql {
       else """SELECT doc_id, token_fingerprint(lower(text)) AS fp,
              |  element_at(multi_min_hash(split(trim(text), '\\s+'), 4, 3), 1) AS m0
              |FROM documents ORDER BY doc_id LIMIT 5""".stripMargin
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
       Tables.all.foreach { t =>

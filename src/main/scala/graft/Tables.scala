@@ -23,7 +23,14 @@ object Tables {
       // default; read the raw int64 nanos and truncate to microseconds
       // (exactly what DuckDB does when it coerces NANOS to its µs
       // timestamps). timestamp_ntz keeps it wall-clock like the source.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The nanosAsLong flag itself is set at session construction
+      // (GraftSession) because it has session-wide reach; the require
+      // here fails fast with a pointer instead of silently flipping
+      // the session's parquet semantics from inside a loader.
+      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong",
+          "false") == "true",
+        "events needs spark.sql.legacy.parquet.nanosAsLong=true — " +
+          "build the session via graft.GraftSession.builder")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(

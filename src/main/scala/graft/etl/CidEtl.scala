@@ -129,12 +129,21 @@ object CidEtl {
   // -------------------------------------------------------------------
 
   /** Stamp a file-order rank on a tiny dim so range joins can reproduce
-    * the reference's first-match-in-file-order. Single partition makes
-    * monotonically_increasing_id sequential in file order; these dims
+    * the reference's first-match-in-file-order.
+    *
+    * Ordering contract: the input must come from exactly ONE CSV file
+    * (enforced below — coalesce over several files has no cross-file
+    * order guarantee). A single small CSV is read as one split, so
+    * coalesce(1) keeps its rows in file order and
+    * monotonically_increasing_id is sequential over them. These dims
     * are catalog-sized (<= a few thousand rows) by construction.
     */
-  private def withFileOrder(df: DataFrame): DataFrame =
+  private def withFileOrder(df: DataFrame): DataFrame = {
+    require(df.inputFiles.length == 1,
+      s"file-order rank needs a single input file, got " +
+        s"${df.inputFiles.length} (${df.inputFiles.take(3).mkString(", ")})")
     df.coalesce(1).withColumn("__ord", monotonically_increasing_id())
+  }
 
   /** Read the 4 official CSVs and reconstruct the hierarchy: categories
     * get block/chapter via lexicographic containment (J3), blocks get

@@ -13,8 +13,21 @@ import org.apache.spark.sql.functions._
   */
 object CidFunctions {
 
-  /** F1: null-safe trim + upper. Null propagates like pd.isna → None. */
-  def normalizeCode(c: Column): Column = upper(trim(c.cast("string")))
+  /** Python `str.strip()` whitespace set (the reference strips with it,
+    * etl_cid10.py:11-21): ASCII whitespace + the C1/Unicode spaces that
+    * `str.isspace()` accepts. Spark's SQL `trim()` strips only ' ', so
+    * a regexp strip is needed for parity on tab/newline/NBSP-padded
+    * codes (latin1 0xA0 appears in DataSUS-era files).
+    */
+  private val pyWs = "[ \\t\\n\\x0B\\f\\r\\x1C-\\x1F\\u0085\\u00A0" +
+    "\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]"
+
+  /** Strip leading/trailing Python-style whitespace. */
+  def stripWs(c: Column): Column =
+    regexp_replace(c, s"^$pyWs+|$pyWs+$$", "")
+
+  /** F1: null-safe strip + upper. Null propagates like pd.isna → None. */
+  def normalizeCode(c: Column): Column = upper(stripWs(c.cast("string")))
 
   /** F2: normalized code up to the first '.' (T65.9 → T65). */
   def extractRootCategory(c: Column): Column =

@@ -20,10 +20,21 @@ object SkewJoin {
   /** `left ⋈ right ON left(key) = right(key)` with `salts`-way key
     * splitting. `right` should be the smaller side (it is replicated
     * `salts` times).
+    *
+    * Only left-preserving join types are supported: because the right
+    * side is replicated once per salt, a `right`/`full_outer` join
+    * would emit every unmatched right row `salts` times instead of
+    * once. (Those shapes need the salt on the other side, or a
+    * post-join dedup of the null-extended rows.)
     */
+  private val leftPreserving =
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    require(leftPreserving(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports left-preserving join types only, got $joinType")
     // deterministic spread: hash the whole row id-space via a rownum-free
     // expression — spark_partition_id + a per-row counter would not be
     // stable, so use a hash of all left columns plus a disambiguator

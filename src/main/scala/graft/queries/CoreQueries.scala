@@ -333,16 +333,25 @@ object CoreQueries extends Catalog {
              |ORDER BY l_orderkey, price_floor, disc_dev""".stripMargin)),
 
     // ---- numeric range (theta) join with first-match (J3/J4) ----
+    // Gated through the map-only CASE-chain variant: the probe side is
+    // never shuffled (the row_number variant would repartition the
+    // whole fact table on a per-row id just to dedupe matches — the
+    // plan you would NOT want at 100 TB probe scale). Oracle unchanged:
+    // first-match-by-lo-order is the same result either way.
     Q("q20_range_join",
       (s, dir) => {
         val ranges = Tables.load(s, dir, "region").select(
           col("r_name"),
           (col("r_regionkey") * lit(2000.0)).as("lo"),
-          (col("r_regionkey") * lit(2000.0) + lit(1999.99)).as("hi"))
+          (col("r_regionkey") * lit(2000.0) + lit(1999.99)).as("hi"),
+          // first-match order: ranges are probed in lo-ascending order,
+          // which for this catalog is exactly regionkey order
+          col("r_regionkey").cast("long").as("ord"))
         val sup = Tables.load(s, dir, "supplier")
-        RangeJoin.firstMatch(
-            sup, ranges, col("s_acctbal"), col("lo"), col("hi"),
-            leftKey = Seq("s_suppkey"), rangeOrder = col("lo"))
+        RangeJoin.firstMatchByCase(
+            sup, ranges, ordCol = "ord",
+            pred = row => col("s_acctbal") >= lit(row.getAs[Double]("lo")) &&
+              col("s_acctbal") <= lit(row.getAs[Double]("hi")))
           .select(col("s_suppkey"), col("r_name"), col("lo"))
           .orderBy(col("s_suppkey"))
       },
