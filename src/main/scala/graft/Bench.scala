@@ -40,12 +40,23 @@ object Bench {
       name -> (if (timed.size == runs) Some(timed(runs / 2)) else None)
     }
     val failed = results.collect { case (n, None) => n }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.getOrElse(-1.0) }
-      .mkString("{", ",", "}")
     val total =
       if (failed.nonEmpty) -1.0 else results.flatMap(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // The harness reading this line keeps only the tail of stdout, so
+    // the JSON must stay compact: per-query times at ms precision, and
+    // if the catalog grows past the budget, drop to centisecond
+    // precision rather than let the line head get clipped.
+    def num(dp: Int, x: Double): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(x))
+    def jsonLine(dp: Int): String = {
+      val qs = results.map { case (k, v) =>
+        "\"" + k + "\":" + num(dp, v.getOrElse(-1.0))
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${num(3, total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    }
+    val line = { val l3 = jsonLine(3); if (l3.length <= 1800) l3 else jsonLine(2) }
+    println(line)
     spark.stop()
   }
 }

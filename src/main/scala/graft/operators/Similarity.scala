@@ -69,46 +69,56 @@ object Similarity {
   }
 
   /** Mini k-means for IVF coarse quantization: deterministic init (the
-    * k lowest-id vectors), fixed iteration count, decimal-free but
-    * deterministic mean updates (sum order fixed by sorting member ids
-    * per centroid is unnecessary — means feed only the bucketing, not
-    * the oracle). Returns (centroid_id, centroid: array<double>).
+    * k lowest-id vectors), fixed iteration count, and cross-engine
+    * reproducible updates — assignment cosines are rounded to 9
+    * decimals before the argmax and per-dimension means go through an
+    * exact decimal sum and are rounded to 9 decimals, so the DuckDB
+    * oracle replays the identical training trajectory (the q54 gate).
+    * Returns (centroid_id, centroid: array<double>).
     *
     * Scale: each iteration is one broadcast (centroids) + one map
     * (assign) + one shuffle (groupBy centroid for the means) — the
-    * textbook distributed Lloyd step.
+    * textbook distributed Lloyd step. Each iteration ends in
+    * `localCheckpoint` so lineage (and thus plan size) stays flat no
+    * matter how many Lloyd steps run.
     */
   def trainCentroids(corpus: DataFrame, id: String, vec: String,
-                     k: Int, iters: Int): DataFrame = {
+                     k: Int, iters: Int, roundTo: Int = 9): DataFrame = {
     val v = corpus.select(col(id).as("cid"), toDoubles(col(vec)).as("v"))
     var centroids = v.orderBy(col("cid")).limit(k)
       .select(col("cid").as("centroid_id"), col("v").as("centroid"))
     for (_ <- 0 until iters) {
-      val assigned = assignToCentroid(v, centroids, "v")
+      val assigned = assignToCentroid(v, centroids, "v", roundTo)
       centroids = assigned
         .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("centroid_id"), col("dim"))
         // decimal-summed mean: centroid values must not drift by
         // partition order or assignments (and thus results) would be
         // nondeterministic run to run
-        .agg((sum(col("x").cast(
+        .agg(round(sum(col("x").cast(
             org.apache.spark.sql.types.DecimalType(38, 18)))
-          .cast("double") / count(col("x"))).as("m"))
+          .cast("double") / count(col("x")), roundTo).as("m"))
         .groupBy(col("centroid_id"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m"))))
           .as("dm"))
         .select(col("centroid_id"),
           transform(col("dm"), s => s.getField("m")).as("centroid"))
+        // truncate lineage: without this each Lloyd step re-plans the
+        // whole preceding chain and the plan grows superlinearly
+        .localCheckpoint()
     }
     centroids
   }
 
-  /** Nearest centroid per row by cosine (broadcast centroids). */
+  /** Nearest centroid per row by cosine (broadcast centroids); the
+    * cosine is rounded before the argmax so an ULP of cross-engine
+    * divergence can't flip an assignment.
+    */
   private def assignToCentroid(rows: DataFrame, centroids: DataFrame,
-                               vecCol: String): DataFrame = {
+                               vecCol: String, roundTo: Int = 9): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val joined = rows.crossJoin(broadcast(centroids))
-      .withColumn("d", cosine(col(vecCol), col("centroid")))
+      .withColumn("d", round(cosine(col(vecCol), col("centroid")), roundTo))
     val w = Window.partitionBy(col("cid"))
       .orderBy(col("d").desc, col("centroid_id"))
     joined.withColumn("rn", row_number().over(w))
@@ -128,13 +138,13 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val c = assignToCentroid(
       corpus.select(col(id).as("cid"), toDoubles(col(vec)).as("v")),
-      centroids, "v")
+      centroids, "v", roundTo)
       .select(col("cid").as("neighbor_id"), col("v").as("cv"),
               col("centroid_id"))
     // each query picks its nprobe closest centroids
     val qAssign = queries.select(col(id).as("qid"), toDoubles(col(vec)).as("qv"))
       .crossJoin(broadcast(centroids))
-      .withColumn("d", cosine(col("qv"), col("centroid")))
+      .withColumn("d", round(cosine(col("qv"), col("centroid")), roundTo))
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("d").desc, col("centroid_id"))
     val q = qAssign.withColumn("rn", row_number().over(wq))
