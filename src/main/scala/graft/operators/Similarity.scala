@@ -73,14 +73,19 @@ object Similarity {
     * reproducible updates — assignment cosines are rounded to 9
     * decimals before the argmax and per-dimension means go through an
     * exact decimal sum and are rounded to 9 decimals, so the DuckDB
-    * oracle replays the identical training trajectory (the q54 gate).
+    * oracle replays the identical training trajectory (the q54 gate:
+    * `SimilarityQueries.duckIvf` unrolls these steps as CTEs).
     * Returns (centroid_id, centroid: array<double>).
     *
     * Scale: each iteration is one broadcast (centroids) + one map
     * (assign) + one shuffle (groupBy centroid for the means) — the
-    * textbook distributed Lloyd step. Each iteration ends in
+    * textbook distributed Lloyd step. Each iteration ends in an eager
     * `localCheckpoint` so lineage (and thus plan size) stays flat no
-    * matter how many Lloyd steps run.
+    * matter how many Lloyd steps run; the prior iteration's blocks are
+    * unpersisted as soon as the next materializes, so peak storage is
+    * one k-row table. Caveat: localCheckpoint is not recoverable on
+    * executor loss — on a real cluster configure a checkpoint dir and
+    * swap in reliable `checkpoint()` for long training runs.
     */
   def trainCentroids(corpus: DataFrame, id: String, vec: String,
                      k: Int, iters: Int, roundTo: Int = 9): DataFrame = {
@@ -89,6 +94,7 @@ object Similarity {
       .select(col("cid").as("centroid_id"), col("v").as("centroid"))
     for (_ <- 0 until iters) {
       val assigned = assignToCentroid(v, centroids, "v", roundTo)
+      val prev = centroids
       centroids = assigned
         .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("centroid_id"), col("dim"))
@@ -106,6 +112,10 @@ object Similarity {
         // truncate lineage: without this each Lloyd step re-plans the
         // whole preceding chain and the plan grows superlinearly
         .localCheckpoint()
+      // eager checkpoint above has materialized the new centroids, so
+      // the previous iteration's blocks can go (no-op on iteration 0,
+      // whose `prev` was never persisted)
+      prev.unpersist()
     }
     centroids
   }

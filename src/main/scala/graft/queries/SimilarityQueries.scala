@@ -25,6 +25,80 @@ object SimilarityQueries extends Catalog {
       s"(CASE WHEN $v[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
       .mkString(" + ")
 
+  // --- q54 oracle: the k-means training loop unrolled as CTEs. ---
+  // trainCentroids is deterministic BY CONSTRUCTION (lowest-id init,
+  // fixed iters, cosines rounded to 9 decimals before the argmax,
+  // decimal-exact means rounded to 9), so the "iterative" training is
+  // really a fixed finite computation — each Lloyd step is one
+  // assign-CTE + one means-CTE, replayed here exactly.
+  private def duckRoundCos(a: String, b: String): String =
+    s"ROUND(${duckCos(a, b)}, 9)"
+
+  /** Nearest-centroid assignment: rounded-cosine argmax, ties by id. */
+  private def duckAssign(src: String, cent: String, out: String): String =
+    s"""$out AS (
+       |  SELECT cid, v, centroid_id FROM (
+       |    SELECT e.vec_id AS cid, e.v AS v, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckRoundCos("e.v", "c.centroid")} DESC,
+       |                 c.centroid_id) AS rn
+       |    FROM $src e CROSS JOIN $cent c) t
+       |  WHERE rn = 1)""".stripMargin
+
+  /** Per-(centroid,dim) decimal-exact mean rounded to 9 decimals —
+    * mirrors trainCentroids' DECIMAL(38,18) sum / count / round.
+    */
+  private def duckMeans(src: String, out: String): String =
+    s"""$out AS (
+       |  SELECT centroid_id, list(m ORDER BY dim) AS centroid FROM (
+       |    SELECT centroid_id, dim,
+       |      ROUND(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+       |        / COUNT(x), 9) AS m
+       |    FROM (SELECT centroid_id, unnest(v) AS x,
+       |                 unnest(range(1, len(v)+1)) AS dim FROM $src) u
+       |    GROUP BY centroid_id, dim) g
+       |  GROUP BY centroid_id)""".stripMargin
+
+  private val duckIvf: String =
+    s"""WITH e AS ($duckE),
+       |c0 AS (SELECT vec_id AS centroid_id, v AS centroid FROM e
+       |       ORDER BY vec_id LIMIT 8),
+       |${duckAssign("e", "c0", "a1")},
+       |${duckMeans("a1", "c1")},
+       |${duckAssign("e", "c1", "a2")},
+       |${duckMeans("a2", "c2")},
+       |${duckAssign("e", "c2", "a3")},
+       |${duckMeans("a3", "c3")},
+       |af AS (
+       |  SELECT cid AS neighbor_id, v AS cv, centroid_id FROM (
+       |    SELECT e.vec_id AS cid, e.v AS v, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckRoundCos("e.v", "c.centroid")} DESC,
+       |                 c.centroid_id) AS rn
+       |    FROM e CROSS JOIN c3 c) t
+       |  WHERE rn = 1),
+       |qp AS (
+       |  SELECT qid AS query_id, qv, centroid_id FROM (
+       |    SELECT q.vec_id AS qid, q.v AS qv, c.centroid_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${duckRoundCos("q.v", "c.centroid")} DESC,
+       |                 c.centroid_id) AS rn
+       |    FROM (SELECT * FROM e WHERE vec_id < 10) q
+       |    CROSS JOIN c3 c) t
+       |  WHERE rn <= 2),
+       |scored AS (
+       |  SELECT qp.query_id, af.neighbor_id, af.centroid_id,
+       |    ${duckRoundCos("qp.qv", "af.cv")} AS cos
+       |  FROM qp JOIN af USING (centroid_id)
+       |  WHERE qp.query_id <> af.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, centroid_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, centroid_id, cos, rank FROM ranked
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
   override val queries: Seq[Q] = Seq(
 
     Q("q50_ann_bruteforce",
@@ -72,10 +146,12 @@ object SimilarityQueries extends Catalog {
               |SELECT query_id, neighbor_id, bucket, cos, rank FROM ranked
               |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)),
 
-    // IVF: k-means coarse quantization + probe-limited search. Not
-    // SQL-expressible (iterative training) -> no oracle; the driver
-    // records a rows-only check and SimilaritySpec pins recall vs
-    // brute force + run-to-run determinism.
+    // IVF: k-means coarse quantization + probe-limited search. The
+    // deterministic training loop (k=8, iters=3, 9-decimal rounding)
+    // is a fixed finite computation, so the oracle unrolls it as
+    // chained CTEs (duckIvf above) and replays the identical
+    // trajectory; SimilaritySpec additionally pins recall vs brute
+    // force + run-to-run determinism.
     Q("q54_ann_ivf",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
@@ -86,7 +162,7 @@ object SimilarityQueries extends Catalog {
             k = K, centroids = centroids, nprobe = 2)
           .orderBy(col("query_id"), col("rank"))
       },
-      None,
+      Some(duckIvf),
       bench = false), // dominated by index BUILD (k-means) — an
                       // offline cost, not per-query latency
 
