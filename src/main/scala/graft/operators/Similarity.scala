@@ -68,6 +68,43 @@ object Similarity {
               col("cos"), col("rank"))
   }
 
+  /** Multi-probe LSH top-k: like [[lshTopK]], but each query also
+    * probes every bucket at Hamming distance 1 from its own (one
+    * sign-bit flip), recovering most neighbors that a single flipped
+    * bit would otherwise hide — the standard recall repair for
+    * sign-bit LSH without growing the buckets themselves.
+    *
+    * Scale: the query side expands ×(nbits+1) BEFORE the join — cheap,
+    * queries are the broadcast-small side — while the corpus is still
+    * hashed once and never shuffled beyond the bucket equi-join. A
+    * (query, neighbor) pair can match through at most one probe
+    * (corpus rows live in exactly one bucket), so no dedup pass is
+    * needed.
+    */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame,
+                        id: String, vec: String, k: Int, nbits: Int,
+                        roundTo: Int = 9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flips = array((lit(0) +: (0 until nbits).map(i => lit(1 << i))): _*)
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
+        signBucket(col(vec), nbits).as("qbucket"), l2Norm(col(vec)).as("qn"))
+      .withColumn("flip", explode(flips))
+      .withColumn("bucket", col("qbucket").bitwiseXOR(col("flip")))
+      .drop("qbucket", "flip")
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
+      signBucket(col(vec), nbits).as("bucket"), l2Norm(col(vec)).as("cn"))
+    val scored = broadcast(q).join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("bucket"),
+              col("cos"), col("rank"))
+  }
+
   /** Mini k-means for IVF coarse quantization: deterministic init (the
     * k lowest-id vectors), fixed iteration count, and cross-engine
     * reproducible updates — assignment cosines are rounded to 9
@@ -173,8 +210,10 @@ object Similarity {
   }
 
   /** All pairs above a cosine threshold (embedding near-dup detection).
-    * Exact O(n²) within — use only on bounded corpora or behind LSH
-    * blocking; kept exact here as the correctness baseline.
+    * Exact O(n²) within — use only on bounded corpora; kept exact here
+    * as the correctness baseline. The production path at corpus scale
+    * is [[cosinePairsBlocked]], which trades recall across buckets for
+    * a bucket-local equi-join.
     */
   def cosinePairs(df: DataFrame, id: String, vec: String,
                   threshold: Double, roundTo: Int = 9): DataFrame = {
@@ -185,6 +224,30 @@ object Similarity {
     a.join(b, col("id_a") < col("id_b"))
       // round before thresholding so borderline values can't split
       // between engines
+      .withColumn("cos",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), roundTo))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** LSH-blocked near-dup pairs — the scale path for [[cosinePairs]]:
+    * both sides hash to a sign-bit bucket and the exact cosine is only
+    * computed within a bucket, turning the O(n²) self-cross-join into
+    * a bucket equi-join (shuffle on bucket, O(b²) per bucket). Same
+    * output schema as [[cosinePairs]]; pairs split across buckets are
+    * the (tunable via `nbits`) recall loss. At 100 TB this is the
+    * near-dup shape that works: no row ever meets a row outside its
+    * bucket, so cost scales with Σ bucket² not corpus².
+    */
+  def cosinePairsBlocked(df: DataFrame, id: String, vec: String,
+                         threshold: Double, nbits: Int,
+                         roundTo: Int = 9): DataFrame = {
+    val a = df.select(col(id).as("id_a"), col(vec).as("va"),
+      signBucket(col(vec), nbits).as("bucket"), l2Norm(col(vec)).as("na"))
+    val b = df.select(col(id).as("id_b"), col(vec).as("vb"),
+      signBucket(col(vec), nbits).as("bucket"), l2Norm(col(vec)).as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("cos",
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), roundTo))
       .filter(col("cos") >= threshold)

@@ -368,6 +368,40 @@ object CoreQueries extends Catalog {
              |    ON s.s_acctbal >= r.lo AND s.s_acctbal <= r.hi) t
              |WHERE rn = 1 ORDER BY s_suppkey""".stripMargin)),
 
+    // ---- bucketed range join: the large-ranges scale path ----
+    // Same supplier×region containment as q20 but through
+    // RangeJoin.bucketed: both sides expand to coarse 2000-wide
+    // buckets and equi-join on the bucket (a shuffled hash join, no
+    // broadcast ceiling on the ranges side). Inner-join semantics —
+    // suppliers with negative acctbal fall outside every range and
+    // drop; the catalog's ranges are disjoint so no first-match dedup
+    // is needed and s_suppkey stays unique (total order).
+    Q("q46_range_join_bucketed",
+      (s, dir) => {
+        val ranges = Tables.load(s, dir, "region").select(
+          col("r_name"),
+          (col("r_regionkey") * lit(2000.0)).as("lo"),
+          (col("r_regionkey") * lit(2000.0) + lit(1999.99)).as("hi"))
+        val sup = Tables.load(s, dir, "supplier")
+        RangeJoin.bucketed(
+            sup, ranges, col("s_acctbal"), col("lo"), col("hi"),
+            bucketOf = v => floor(v / lit(2000.0)).cast("long"),
+            bucketsOf = (lo, hi) => sequence(
+              floor(lo / lit(2000.0)).cast("long"),
+              floor(hi / lit(2000.0)).cast("long")))
+          .select(col("s_suppkey"), col("r_name"), col("lo"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s.s_suppkey, r.r_name, r.lo
+             |FROM supplier s
+             |JOIN (SELECT r_name,
+             |        r_regionkey * CAST(2000.0 AS DOUBLE) AS lo,
+             |        r_regionkey * CAST(2000.0 AS DOUBLE)
+             |          + CAST(1999.99 AS DOUBLE) AS hi
+             |      FROM region) r
+             |  ON s.s_acctbal >= r.lo AND s.s_acctbal <= r.hi
+             |ORDER BY s_suppkey""".stripMargin)),
+
     // ---- priority dedup (W1): keep one row per key by priority ----
     Q("q21_priority_dedup",
       (s, dir) => PriorityDedup(

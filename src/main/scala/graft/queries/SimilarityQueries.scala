@@ -179,6 +179,54 @@ object SimilarityQueries extends Catalog {
               |ORDER BY id_a, id_b""".stripMargin),
       bench = false), // O(n²) exact pair scan — not a headline op
 
+    // LSH-blocked near-dup: q52's production shape — exact cosine only
+    // within a sign-bit bucket (bucket equi-join, never all-pairs)
+    Q("q57_near_dup_blocked",
+      (s, dir) => Similarity.cosinePairsBlocked(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          0.45, NBits)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+              |  ${duckBucket("embedding")} AS bucket FROM embeddings),
+              |pairs AS (
+              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |    ROUND(${duckCos("a.v", "b.v")}, 9) AS cos
+              |  FROM e a JOIN e b
+              |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+              |SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.45
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Multi-probe LSH: each query also probes every bucket one sign
+    // flip away (Hamming-1) — the recall repair for q51's single probe
+    Q("q68_ann_lsh_multiprobe",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.lshTopKMultiProbe(
+            e.filter(col("vec_id") < 10), e, "vec_id", "embedding", K, NBits)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+              |  ${duckBucket("embedding")} AS bucket FROM embeddings),
+              |q AS (SELECT * FROM e WHERE vec_id < 10),
+              |p AS (
+              |  SELECT q.vec_id, q.v, xor(q.bucket, f.flip) AS bucket
+              |  FROM q CROSS JOIN (SELECT unnest([${
+                 (0 +: (0 until NBits).map(1 << _)).mkString(", ")
+               }]) AS flip) f),
+              |scored AS (
+              |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+              |    c.bucket AS bucket,
+              |    ROUND(${duckCos("p.v", "c.v")}, 9) AS cos
+              |  FROM p JOIN e c ON p.bucket = c.bucket
+              |  WHERE p.vec_id <> c.vec_id),
+              |ranked AS (
+              |  SELECT query_id, neighbor_id, bucket, cos,
+              |    CAST(row_number() OVER (PARTITION BY query_id
+              |      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+              |  FROM scored)
+              |SELECT query_id, neighbor_id, bucket, cos, rank FROM ranked
+              |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)),
+
     // int8 embedding quantization: 4x smaller storage for candidate
     // generation; reconstruction error bounded and oracle-checked
     Q("q55_quantize",

@@ -36,6 +36,41 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("multi-probe LSH recall dominates single-probe and clears 0.5") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val queries = e.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = pairs(
+      Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", 5))
+    val single = pairs(
+      Similarity.lshTopK(queries, e, "vec_id", "embedding", 5, 4))
+    val multi = pairs(
+      Similarity.lshTopKMultiProbe(queries, e, "vec_id", "embedding", 5, 4))
+    val rs = single.intersect(brute).size.toDouble / brute.size
+    val rm = multi.intersect(brute).size.toDouble / brute.size
+    info(s"recall@5 single-probe=$rs multi-probe=$rm")
+    // Hamming-1 probing can only add candidate buckets, never drop one
+    assert(multi.intersect(brute).size >= single.intersect(brute).size,
+      s"single=$rs multi=$rm")
+    assert(rm >= 0.5, s"multi-probe recall=$rm")
+  }
+
+  test("blocked near-dup emits exactly the same-bucket subset of exact pairs") {
+    import graft.functions.VectorFunctions.signBucket
+    val e = Tables.load(spark, dir, "embeddings")
+    val blocked = Similarity.cosinePairsBlocked(
+        e, "vec_id", "embedding", 0.3, 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val exact = Similarity.cosinePairs(e, "vec_id", "embedding", 0.3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val bucketOf = e.select($"vec_id", signBucket($"embedding", 4).as("b"))
+      .as[(Long, Int)].collect().toMap
+    val sameBucket = exact.filter { case (a, b) => bucketOf(a) == bucketOf(b) }
+    assert(blocked == sameBucket) // no extras, no same-bucket misses
+    assert(blocked.subsetOf(exact))
+  }
+
   test("every IVF neighbor comes from a probed centroid list") {
     val e = Tables.load(spark, dir, "embeddings")
     val centroids = Similarity.trainCentroids(e, "vec_id", "embedding", 8, 3)
