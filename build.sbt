@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through UNPREFIXED: the bench/verify
+// harness parses Bench's one-line JSON from stdout, and sbt's default
+// LoggedOutput strategy would tag it "[info] " (which broke the parse —
+// BENCH_r03.json recorded parsed:null with the line present but
+// prefixed). Stderr (Spark logs) passes through raw too.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -26,7 +26,7 @@ object Bench {
     // numbers at sf0.1 swing ±1-2 s with ambient load, medians keep
     // the round-over-round comparison stable.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results: Seq[(String, Option[Double])] = names.map { name =>
+    val results: Seq[(String, Option[Seq[Double]])] = names.map { name =>
       def once(): Option[Double] =
         try {
           val t0 = System.nanoTime()
@@ -34,29 +34,39 @@ object Bench {
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => None }
       once() // warm
-      val timed = (1 to runs).flatMap(_ => once()).sorted
       // a query that threw is reported as -1 and listed in "failed",
       // never as a near-zero time that silently improves the total
-      name -> (if (timed.size == runs) Some(timed(runs / 2)) else None)
+      val timed = (1 to runs).flatMap(_ => once()).sorted
+      name -> (if (timed.size == runs) Some(timed) else None)
     }
     val failed = results.collect { case (n, None) => n }
+    def med(ts: Seq[Double]): Double = ts(ts.size / 2)
     val total =
-      if (failed.nonEmpty) -1.0 else results.flatMap(_._2).sum
+      if (failed.nonEmpty) -1.0 else results.flatMap(_._2.map(med)).sum
+    // spread across runs: best-case and worst-case totals bound the
+    // ambient-noise band so round-over-round swings (r2 16.5s -> r3
+    // 20.1s with no code change) are attributable, not mysterious
+    val totalMin = results.flatMap(_._2.map(_.head)).sum
+    val totalMax = results.flatMap(_._2.map(_.last)).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The harness reading this line keeps only the tail of stdout, so
-    // the JSON must stay compact: per-query times at ms precision, and
-    // if the catalog grows past the budget, drop to centisecond
-    // precision rather than let the line head get clipped.
+    // the JSON must stay compact: per-query medians at ms precision,
+    // degrading one decimal place at a time (3 -> 0) if the catalog
+    // outgrows the budget rather than ever clipping the line head.
     def num(dp: Int, x: Double): String =
       String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(x))
     def jsonLine(dp: Int): String = {
       val qs = results.map { case (k, v) =>
-        "\"" + k + "\":" + num(dp, v.getOrElse(-1.0))
+        "\"" + k + "\":" + num(dp, v.map(med).getOrElse(-1.0))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(3, total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(3, total)},"unit":"sec","runs":$runs,"total_min":${num(3, totalMin)},"total_max":${num(3, totalMax)},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     }
-    val line = { val l3 = jsonLine(3); if (l3.length <= 1800) l3 else jsonLine(2) }
-    println(line)
+    val line = (3 to 0 by -1).map(jsonLine)
+      .find(_.length <= 1800).getOrElse(jsonLine(0))
     spark.stop()
+    // after stop: Spark can no longer interleave shutdown logs; with
+    // run/outputStrategy=StdoutOutput this reaches the harness as a
+    // raw final stdout line (no sbt "[info] " prefix)
+    println(line)
   }
 }
