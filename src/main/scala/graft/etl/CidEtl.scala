@@ -132,17 +132,26 @@ object CidEtl {
     * the reference's first-match-in-file-order.
     *
     * Ordering contract: the input must come from exactly ONE CSV file
-    * (enforced below — coalesce over several files has no cross-file
-    * order guarantee). A single small CSV is read as one split, so
-    * coalesce(1) keeps its rows in file order and
-    * monotonically_increasing_id is sequential over them. These dims
-    * are catalog-sized (<= a few thousand rows) by construction.
+    * (enforced below — there is no cross-file order to reconstruct).
+    * The rank comes from `zipWithIndex`, whose numbering follows
+    * partition index then intra-partition order — for a single CSV
+    * file, splits are ordered by byte offset and rows stream in file
+    * order within each split, so the index IS the line number. (The
+    * previous `coalesce(1) + monotonically_increasing_id` relied on
+    * coalesce preserving row order, a contract Spark doesn't state.)
+    * These dims are catalog-sized (<= a few thousand rows), so the
+    * round-trip through an RDD is off any hot path.
     */
   private def withFileOrder(df: DataFrame): DataFrame = {
     require(df.inputFiles.length == 1,
       s"file-order rank needs a single input file, got " +
         s"${df.inputFiles.length} (${df.inputFiles.take(3).mkString(", ")})")
-    df.coalesce(1).withColumn("__ord", monotonically_increasing_id())
+    val schema = df.schema.add("__ord", org.apache.spark.sql.types.LongType,
+      nullable = false)
+    val rdd = df.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** Read the 4 official CSVs and reconstruct the hierarchy: categories
