@@ -16,9 +16,14 @@ object VectorFunctions {
 
   def toDoubles(a: Column): Column = transform(a, _.cast("double"))
 
+  /** One-pass custom expression; bit-identical to the composed form
+    * `aggregate(zip_with(toDoubles(a), toDoubles(b), _ * _), 0.0, _ + _)`
+    * (same cast, same multiply, same sequential fold order — pinned by
+    * CustomExpressionsSpec) but without three interpreted higher-order
+    * passes per row, which dominated the pair-scoring paths.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDoubles(a), toDoubles(b), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.expressions.DotProduct.dotProduct(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

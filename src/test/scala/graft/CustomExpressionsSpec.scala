@@ -56,6 +56,49 @@ class CustomExpressionsSpec extends SparkSpec {
     assert(custom.collect().toSeq == composed.collect().toSeq)
   }
 
+  test("DotProduct == aggregate(zip_with(cast)) fold, incl. null/length edges") {
+    import graft.functions.expressions.DotProduct.dotProduct
+    // the composed built-in form DotProduct replaces (bit-for-bit)
+    def composedDot(a: org.apache.spark.sql.Column,
+                    b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(transform(a, _.cast("double")),
+          transform(b, _.cast("double")), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+
+    val doubles = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.1, -0.2), Seq(0.3, 0.7)),
+      (Seq.empty[Double], Seq.empty[Double]),
+      (Seq(1.0, 2.0), Seq(1.0)), // length mismatch -> null
+      (Seq(1e-300, 1e300), Seq(1e300, 1e-300))).toDF("x", "y")
+    assert(doubles.select(dotProduct($"x", $"y")).collect().toSeq ==
+      doubles.select(composedDot($"x", $"y")).collect().toSeq)
+
+    val floats = Seq(
+      (Seq(1.5f, -2.25f, 0.1f), Seq(0.3f, 4.0f, -1.1f)),
+      (Seq(Float.MinPositiveValue), Seq(Float.MaxValue))).toDF("x", "y")
+    assert(floats.select(dotProduct($"x", $"y")).collect().toSeq ==
+      floats.select(composedDot($"x", $"y")).collect().toSeq)
+
+    // null array and null element both null out, like the composition
+    val withNulls = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(1.0D, 2.0D), CAST(NULL AS ARRAY<DOUBLE>)),
+        |  (array(1.0D, CAST(NULL AS DOUBLE)), array(3.0D, 4.0D))
+        |AS t(x, y)""".stripMargin)
+    assert(withNulls.select(dotProduct($"x", $"y")).collect().toSeq ==
+      withNulls.select(composedDot($"x", $"y")).collect().toSeq)
+
+    // real corpus: every embedding dotted with itself and a neighbor
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", $"embedding")
+    val pairs = e.join(
+      e.select($"vec_id".as("vid2"), $"embedding".as("e2")),
+      $"vec_id" % 7 === $"vid2" % 7)
+    assert(pairs.select(dotProduct($"embedding", $"e2")).collect().toSeq ==
+      pairs.select(composedDot($"embedding", $"e2")).collect().toSeq)
+  }
+
   test("expressions agree with composition on the real corpus") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val sh = TextFunctions.shingles($"text", 3)
