@@ -140,4 +140,59 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
               col("jaccard"))
   }
+
+  /** The dedup DECISION step: candidate pairs (from [[minhashCandidates]],
+    * [[jaccardPairs]], or `Similarity.cosinePairsBlocked`) form an
+    * undirected graph; each document's component representative is the
+    * MINIMUM doc id reachable from it, and the representative itself is
+    * the survivor. Min-label propagation to fixpoint: the converged
+    * labeling is canonical (unique regardless of iteration order), which
+    * is what makes it oracle-checkable — DuckDB's recursive CTE reaches
+    * the same fixpoint by a different route.
+    *
+    * Scale: each round is one equi-join (edges ⨝ labels on the vertex)
+    * + one min-groupBy — both shuffles keyed by vertex id — and labels
+    * converge in graph-diameter rounds (dup clusters are shallow:
+    * near-dup graphs are cliquish, diameter 2-4 in practice).
+    * `localCheckpoint` per round keeps lineage flat; the prior round's
+    * blocks are freed as soon as the next materializes. The classic
+    * large-star/small-star rewrite is the drop-in upgrade if a corpus
+    * ever produces deep chains. Throws if `maxIters` rounds don't
+    * converge — a silently unconverged labeling would be
+    * nondeterministic, which is worse than loud.
+    */
+  def connectedComponents(vertices: DataFrame, id: Column,
+                          pairs: DataFrame, src: Column, dst: Column,
+                          maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(src.as("src"), dst.as("dst"))
+      .union(pairs.select(dst.as("src"), src.as("dst")))
+      .distinct()
+      .localCheckpoint() // symmetrize + materialize once, reused every round
+    var labels = vertices.select(id.as("v"), id.as("component"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // each vertex keeps the min of its own label and its neighbors'
+      val next = labels
+        .union(edges.join(labels, edges("dst") === labels("v"))
+          .select(edges("src").as("v"), col("component")))
+        .groupBy(col("v"))
+        .agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("p"), col("n.v") === col("p.v"))
+        .filter(col("n.component") =!= col("p.component"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIters rounds — " +
+        "component diameter exceeds the bound; raise maxIters or use a " +
+        "star-contraction variant")
+    edges.unpersist()
+    labels
+  }
 }

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic content-addressed sampling for corpus curation.
+  *
+  * The sampling decision is a pure function of the row's id — no RNG,
+  * no state, no shuffle: `md5(id)`'s first two hex digits are compared
+  * against a threshold, so a row's fate is identical on every run,
+  * every engine, and every cluster size (the property that makes
+  * training-data subsets reproducible and incrementally extensible —
+  * raising the threshold only ADDS rows, it never swaps them).
+  * Lexicographic compare on the fixed-width lowercase prefix equals
+  * numeric compare, so the same predicate runs verbatim in SQL oracles.
+  *
+  * Scale: embarrassingly parallel map-side filter; at 100 TB it
+  * costs one pass and prunes before any downstream shuffle.
+  */
+object Sampling {
+
+  /** Keep rows whose md5(id) prefix is below `threshold256`
+    * (rate ≈ threshold256/256; e.g. 26 → ~10.2%).
+    */
+  def hashSample(df: DataFrame, id: Column, threshold256: Int): DataFrame = {
+    require(threshold256 >= 0 && threshold256 <= 256,
+      s"threshold256 must be in [0, 256], got $threshold256")
+    df.filter(hashPrefix(id) < lit(f"$threshold256%02x"))
+  }
+
+  /** Per-stratum rates: each stratum keys its own threshold (unlisted
+    * strata fall back to `default256`). One map-side filter — the
+    * stratification costs nothing beyond the CASE.
+    */
+  def stratifiedHashSample(df: DataFrame, id: Column, stratum: Column,
+                           rates256: Seq[(String, Int)],
+                           default256: Int): DataFrame = {
+    val th = rates256.foldLeft(lit(f"$default256%02x")) {
+      case (acc, (k, r)) => when(stratum === k, lit(f"$r%02x")).otherwise(acc)
+    }
+    df.filter(hashPrefix(id) < th)
+  }
+
+  private def hashPrefix(id: Column): Column =
+    substring(md5(id.cast("string")), 1, 2)
+}

@@ -2,10 +2,52 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{PriorityDedup, RangeJoin}
+import graft.operators.{Dedup, PriorityDedup, RangeJoin, Sampling}
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
+
+  test("connectedComponents labels chains, cliques, and singletons") {
+    // components: {1,2,3,4} via a chain (diameter 3 — needs several
+    // propagation rounds), {10,11,12} via a triangle, {20} singleton
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),            // chain, mixed direction
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(vertices, $"id", pairs, $"a", $"b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("connectedComponents throws rather than return unconverged labels") {
+    val vertices = (1L to 6L).toDF("id")
+    val pairs = (1L to 5L).map(i => (i, i + 1)).toDF("a", "b") // diameter 5
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(vertices, $"id", pairs, $"a", $"b",
+        maxIters = 1)
+    }
+  }
+
+  test("hash sampling is deterministic, monotone in rate, and stratifiable") {
+    val df = (0L until 2000L).toDF("id").withColumn(
+      "lang", when($"id" % 3 === 0, "en").otherwise("pt"))
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select($"id").as[Long].collect().toSet
+    val s26a = ids(Sampling.hashSample(df, $"id", 26))
+    val s26b = ids(Sampling.hashSample(df, $"id", 26))
+    val s64 = ids(Sampling.hashSample(df, $"id", 64))
+    assert(s26a == s26b)                  // pure function of the id
+    assert(s26a.subsetOf(s64))            // raising the rate only adds
+    assert(s26a.nonEmpty && s64.size > s26a.size && s64.size < 2000)
+    // stratified: en rows follow the en threshold, others the default
+    val strat = Sampling.stratifiedHashSample(
+      df, $"id", $"lang", Seq("en" -> 64), default256 = 26)
+    val gotEn = ids(strat.filter($"lang" === "en"))
+    val gotPt = ids(strat.filter($"lang" =!= "en"))
+    assert(gotEn == s64.filter(_ % 3 == 0))
+    assert(gotPt == s26a.filterNot(_ % 3 == 0))
+  }
 
   test("RangeJoin.firstMatch keeps first range in order on overlap") {
     val items = Seq("A00", "A15", "A20", "Z99").toDF("code")
