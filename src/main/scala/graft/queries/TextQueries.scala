@@ -159,6 +159,35 @@ object TextQueries extends Catalog {
              |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
              |  md5(text) AS content_md5,
              |  substring(text, 1, 8) AS head8
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // TF-IDF keyword extraction: rational log-free idf (n/df) so the
+    // score itself hash-matches across engines (ln is not ulp-stable)
+    Q("q69_tfidf_topterms",
+      (s, dir) => graft.operators.TfIdf.topTerms(
+          Tables.load(s, dir, "documents"), col("doc_id"), col("text"), 3)
+        .orderBy(col("doc_id"), col("rank")),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, unnest($duckToks) AS term FROM documents),
+              |tf AS (
+              |  SELECT doc_id, term, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+              |wl AS (
+              |  SELECT doc_id, term, cnt,
+              |    SUM(cnt) OVER (PARTITION BY doc_id) AS len FROM tf),
+              |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+              |scored AS (
+              |  SELECT w.doc_id, w.term,
+              |    ROUND((CAST(w.cnt AS DOUBLE) / CAST(w.len AS DOUBLE))
+              |      * (CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)), 9)
+              |      AS tfidf
+              |  FROM wl w JOIN dfq d USING (term) CROSS JOIN n),
+              |ranked AS (
+              |  SELECT doc_id, term, tfidf,
+              |    CAST(row_number() OVER (PARTITION BY doc_id
+              |      ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+              |  FROM scored)
+              |SELECT doc_id, term, tfidf, rank FROM ranked
+              |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
   )
 }
