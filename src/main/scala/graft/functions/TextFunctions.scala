@@ -171,4 +171,59 @@ object TextFunctions {
     when(n > 0, stopwordHits(c, stopwords("en")).cast("double") / n.cast("double"))
       .otherwise(lit(0.0))
   }
+
+  // --- PII scrubbing -------------------------------------------------
+  // Patterns live in the Java-regex ∩ RE2 subset (no lookaround, no
+  // backreferences) so the DuckDB oracle scrubs byte-identically.
+
+  val emailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern: String =
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern: String =
+    "\\+\\d{1,2}[- ]\\d{3}[- ]\\d{3}[- ]\\d{4}"
+
+  /** Redact emails, IPv4 addresses, and phone numbers with typed
+    * placeholders. Emails are scrubbed FIRST — their local parts and
+    * domains contain digit/dot runs that would otherwise partially
+    * match the later patterns. Pure map-side `regexp_replace` chain:
+    * at corpus scale this is one codegen'd pass per document, no
+    * shuffle ever.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
+  /** Count of matches of `pattern` in `c`. */
+  def patternCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  // --- Repetition signals (Gopher §A1.1 duplicate n-gram rules) ------
+
+  /** Fraction of word n-gram occurrences that are repeats of an
+    * earlier occurrence (1 - distinct/total; 0 when the doc is too
+    * short to shingle). High values flag boilerplate / looped text.
+    */
+  def dupNgramFraction(c: Column, n: Int): Column = {
+    val sh = shingles(c, n)
+    when(size(sh) > 0,
+        lit(1.0) - size(array_distinct(sh)).cast("double")
+          / size(sh).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Occurrence count of the single most frequent word n-gram (0 when
+    * the doc is too short). O(distinct × total) per document but pure
+    * array arithmetic — stays map-side, no explode/shuffle.
+    */
+  def topNgramCount(c: Column, n: Int): Column = {
+    val sh = shingles(c, n)
+    when(size(sh) > 0,
+        array_max(transform(array_distinct(sh),
+          d => size(filter(sh, x => x === d)))))
+      .otherwise(lit(0))
+  }
 }

@@ -161,6 +161,83 @@ object TextQueries extends Catalog {
              |  substring(text, 1, 8) AS head8
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // PII scrubbing over a deterministically PII-augmented text: the
+    // synthetic docs contain no PII, so both engines append the SAME
+    // doc_id-derived email/IP/phone before scrubbing — the redaction
+    // regexes are genuinely exercised and the scrubbed md5 must match
+    Q("q71_pii_scrub",
+      (s, dir) => {
+        val aug = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com from 10."),
+          (col("doc_id") % 256).cast("string"), lit(".0."),
+          (col("doc_id") % 100).cast("string"),
+          lit(" call +1 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-0199"))
+        Tables.load(s, dir, "documents")
+          .withColumn("aug", aug)
+          .select(
+            col("doc_id"),
+            patternCount(col("aug"), emailPattern).as("n_emails"),
+            patternCount(col("aug"), ipv4Pattern).as("n_ips"),
+            patternCount(col("aug"), phonePattern).as("n_phones"),
+            md5(scrubPii(col("aug"))).as("scrubbed_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val aug = "text || ' contact user' || CAST(doc_id AS VARCHAR)" +
+          " || '@mail.example.com from 10.'" +
+          " || CAST(doc_id % 256 AS VARCHAR) || '.0.'" +
+          " || CAST(doc_id % 100 AS VARCHAR)" +
+          " || ' call +1 555-'" +
+          " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'"
+        s"""WITH a AS (SELECT doc_id, $aug AS aug FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(aug, '$emailPattern')) AS INTEGER) AS n_emails,
+           |  CAST(len(regexp_extract_all(aug, '$ipv4Pattern')) AS INTEGER) AS n_ips,
+           |  CAST(len(regexp_extract_all(aug, '$phonePattern')) AS INTEGER) AS n_phones,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+           |    '$emailPattern', '<EMAIL>', 'g'),
+           |    '$ipv4Pattern', '<IP>', 'g'),
+           |    '$phonePattern', '<PHONE>', 'g')) AS scrubbed_md5
+           |FROM a ORDER BY doc_id""".stripMargin
+      }),
+
+    // Repetition signals (Gopher duplicate-n-gram rules): fraction of
+    // repeated 2-/3-grams + the hottest bigram's count, keep flag
+    Q("q72_repetition",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(shingles(col("text"), 2)).as("n_2grams"),
+          round(dupNgramFraction(col("text"), 2), 6).as("dup2_frac"),
+          round(dupNgramFraction(col("text"), 3), 6).as("dup3_frac"),
+          topNgramCount(col("text"), 2).as("top2_count"),
+          (dupNgramFraction(col("text"), 2) <= 0.6).as("keep"))
+        .orderBy(col("doc_id")),
+      Some {
+        def sh(n: Int) =
+          s"""(CASE WHEN len(toks) >= $n
+             |  THEN list_transform(range(0, len(toks)-${n - 1}),
+             |         i -> array_to_string(list_slice(toks, i+1, i+$n), ' '))
+             |  ELSE [] END)""".stripMargin
+        def dupFrac(col: String) =
+          s"(CASE WHEN len($col) > 0 THEN 1.0 - CAST(len(list_distinct($col)) AS DOUBLE) / len($col) ELSE 0.0 END)"
+        s"""WITH d AS (SELECT doc_id, $duckToks AS toks FROM documents),
+           |s AS (SELECT doc_id, ${sh(2)} AS sh2, ${sh(3)} AS sh3 FROM d)
+           |SELECT doc_id,
+           |  CAST(len(sh2) AS INTEGER) AS n_2grams,
+           |  ROUND(${dupFrac("sh2")}, 6) AS dup2_frac,
+           |  ROUND(${dupFrac("sh3")}, 6) AS dup3_frac,
+           |  CAST((CASE WHEN len(sh2) > 0
+           |    THEN list_max(list_transform(list_distinct(sh2),
+           |           t -> len(list_filter(sh2, x -> x = t))))
+           |    ELSE 0 END) AS INTEGER) AS top2_count,
+           |  ${dupFrac("sh2")} <= 0.6 AS keep
+           |FROM s ORDER BY doc_id""".stripMargin
+      }),
+
     // TF-IDF keyword extraction: rational log-free idf (n/df) so the
     // score itself hash-matches across engines (ln is not ulp-stable)
     Q("q69_tfidf_topterms",
