@@ -25,14 +25,16 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
-  /** Word n-gram shingles, empty array when the doc is too short. */
-  def shingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
+  /** Word n-gram shingles from a precomputed token array, empty array
+    * when the doc is too short. */
+  def shinglesOf(t: Column, n: Int): Column =
     when(size(t) >= n,
         transform(sequence(lit(0), size(t) - n),
           i => concat_ws(" ", slice(t, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Word n-gram shingles, empty array when the doc is too short. */
+  def shingles(c: Column, n: Int): Column = shinglesOf(tokens(c), n)
 
   /** One MinHash value: the minimum md5 hex digest over the shingles,
     * salted with the hash index. Hex strings are uniform, so the
@@ -178,10 +180,30 @@ object TextFunctions {
 
   val emailPattern: String =
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val ipv4Pattern: String =
-    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Valid-octet IPv4. Octets are range-checked (0-255, leftmost-first
+    * alternation — identical semantics in Java regex and RE2), so
+    * 999.999.999.999 and version strings like v1.2.3.4 pass through
+    * unredacted. Known looseness (RE2 has no lookaround to fix it):
+    * a 5-part dotted run '1.2.3.4.5' still matches its first four
+    * parts, leaving '.5' after the placeholder. Over-redaction is the
+    * safe direction for a scrubber, so that residue is accepted and
+    * pinned by the q71 oracle.
+    */
+  val ipv4Pattern: String = {
+    val octet = "(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    s"\\b$octet\\.$octet\\.$octet\\.$octet\\b"
+  }
+
+  /** Phone numbers: international-prefix form plus the common US
+    * domestic forms (555-123-4567, (555) 123-4567, 555.123.4567).
+    * Every alternative ends in \b so a 4-digit group never partially
+    * matches a longer digit run ('…-45678' stays untouched).
+    */
   val phonePattern: String =
-    "\\+\\d{1,2}[- ]\\d{3}[- ]\\d{3}[- ]\\d{4}"
+    "\\+\\d{1,2}[-. ]\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b" +
+      "|\\(\\d{3}\\)[-. ]?\\d{3}[-. ]\\d{4}\\b" +
+      "|\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
 
   /** Redact emails, IPv4 addresses, and phone numbers with typed
     * placeholders. Emails are scrubbed FIRST — their local parts and
@@ -203,27 +225,43 @@ object TextFunctions {
 
   // --- Repetition signals (Gopher §A1.1 duplicate n-gram rules) ------
 
-  /** Fraction of word n-gram occurrences that are repeats of an
-    * earlier occurrence (1 - distinct/total; 0 when the doc is too
-    * short to shingle). High values flag boilerplate / looped text.
-    */
-  def dupNgramFraction(c: Column, n: Int): Column = {
-    val sh = shingles(c, n)
+  /** Repeated-occurrence fraction of a precomputed shingle array:
+    * 1 - distinct/total, 0 when empty. */
+  def dupFractionOf(sh: Column): Column =
     when(size(sh) > 0,
         lit(1.0) - size(array_distinct(sh)).cast("double")
           / size(sh).cast("double"))
       .otherwise(lit(0.0))
-  }
+
+  /** Fraction of word n-gram occurrences that are repeats of an
+    * earlier occurrence (1 - distinct/total; 0 when the doc is too
+    * short to shingle). High values flag boilerplate / looped text.
+    */
+  def dupNgramFraction(c: Column, n: Int): Column =
+    dupFractionOf(shingles(c, n))
+
+  /** Occurrence count of the most frequent element of a string array
+    * (0 when empty): sort, then one linear fold tracking the current
+    * equal-run length and the best run seen. O(m log m) per document —
+    * replaces the earlier O(distinct × total) filter-per-distinct
+    * form, which at the quality mask's 100k-token ceiling cost ~10^10
+    * comparisons per pathological doc. Stays map-side, no shuffle.
+    */
+  def topCountOf(sh: Column): Column =
+    aggregate(
+      array_sort(sh),
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
+             lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x <=> acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+               greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
 
   /** Occurrence count of the single most frequent word n-gram (0 when
-    * the doc is too short). O(distinct × total) per document but pure
-    * array arithmetic — stays map-side, no explode/shuffle.
-    */
-  def topNgramCount(c: Column, n: Int): Column = {
-    val sh = shingles(c, n)
-    when(size(sh) > 0,
-        array_max(transform(array_distinct(sh),
-          d => size(filter(sh, x => x === d)))))
-      .otherwise(lit(0))
-  }
+    * the doc is too short). */
+  def topNgramCount(c: Column, n: Int): Column =
+    topCountOf(shingles(c, n))
 }

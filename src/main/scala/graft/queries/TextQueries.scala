@@ -208,13 +208,19 @@ object TextQueries extends Catalog {
     // repeated 2-/3-grams + the hottest bigram's count, keep flag
     Q("q72_repetition",
       (s, dir) => Tables.load(s, dir, "documents")
+        // mirror the oracle's WITH d/s staging: tokenize once, shingle
+        // once, derive every output from the staged arrays (no reliance
+        // on subexpression elimination to dedupe five tokenizations)
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("sh2", shinglesOf(col("toks"), 2))
+        .withColumn("sh3", shinglesOf(col("toks"), 3))
         .select(
           col("doc_id"),
-          size(shingles(col("text"), 2)).as("n_2grams"),
-          round(dupNgramFraction(col("text"), 2), 6).as("dup2_frac"),
-          round(dupNgramFraction(col("text"), 3), 6).as("dup3_frac"),
-          topNgramCount(col("text"), 2).as("top2_count"),
-          (dupNgramFraction(col("text"), 2) <= 0.6).as("keep"))
+          size(col("sh2")).as("n_2grams"),
+          round(dupFractionOf(col("sh2")), 6).as("dup2_frac"),
+          round(dupFractionOf(col("sh3")), 6).as("dup3_frac"),
+          topCountOf(col("sh2")).as("top2_count"),
+          (dupFractionOf(col("sh2")) <= 0.6).as("keep"))
         .orderBy(col("doc_id")),
       Some {
         def sh(n: Int) =
