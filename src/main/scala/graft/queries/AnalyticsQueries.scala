@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Round-5 analytics surface: multi-dimensional aggregation (cube),
+  * pivot/unpivot reshaping, corpus vocabulary via explode, a
+  * deterministic KMV distinct-count sketch, heavy hitters, fixed-window
+  * chunk dedup, funnel analysis, and the SQL-text API end-to-end.
+  *
+  * The reference (`etl_cid10.py`) has none of these — they are the
+  * engine-extension tier (SURVEY.md §7): the operations a training-data
+  * pipeline needs at 100 TB, each expressed as declarative DataFrame
+  * plans so Catalyst keeps pushdown/pruning, and each DuckDB-oracled.
+  */
+object AnalyticsQueries extends Catalog {
+
+  private val ws = graft.functions.TextFunctions.wsClass
+  private val duckToks = s"regexp_split_to_array(trim(text), '$ws+')"
+  private val duckToksLower =
+    s"regexp_split_to_array(trim(lower(text)), '$ws+')"
+
+  /** KMV sketch size. */
+  private val KmvK = 256
+
+  /** Fixed token window for chunk-level dedup. */
+  private val ChunkW = 20
+
+  /** The shared SQL text for q80 — runs verbatim in both engines.
+    * (Declared before `queries`, which captures it at object init.) */
+  private val Q80Sql: String =
+    """SELECT o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |    AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  override val queries: Seq[Q] = Seq(
+
+    // Multi-dimensional aggregation: CUBE with a grouping-id column.
+    // Both engines pin NULLS FIRST (Spark's ASC default; DuckDB's is
+    // NULLS LAST) so subtotal rows land in identical positions.
+    Q("q73_cube",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          (grouping(col("l_returnflag")) * 2
+            + grouping(col("l_linestatus"))).cast("int").as("gid"),
+          count(lit(1)).as("n_rows"),
+          Catalog.dsumCol(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus)
+              |       AS INTEGER) AS gid,
+              |  COUNT(*) AS n_rows,
+              |  ${Catalog.dsum("l_extendedprice")} AS sum_price
+              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+              |ORDER BY gid, l_returnflag NULLS FIRST,
+              |  l_linestatus NULLS FIRST""".stripMargin)),
+
+    // Pivot: one row per user, one column per event type (fixed value
+    // list — Spark never scans for pivot values, so the plan is a
+    // single shuffle-agg; absent cells stay NULL on both sides).
+    Q("q74_pivot",
+      (s, dir) => Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+               Seq("view", "click", "purchase", "signup", "error"))
+        .agg(Catalog.dsumCol(col("value")))
+        .orderBy(col("user_id")),
+      Some {
+        val cells = Seq("view", "click", "purchase", "signup", "error")
+          .map(t => s"""CAST(SUM(CAST(value AS DECIMAL(18,2)))
+             | FILTER (WHERE event_type = '$t') AS DOUBLE) AS "$t""""
+            .stripMargin.replace("\n", ""))
+        s"""SELECT user_id, ${cells.mkString(", ")}
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+      }),
+
+    // Corpus vocabulary: explode tokens -> (term, document frequency,
+    // collection frequency). The explode+groupBy shape is the canonical
+    // one-shuffle corpus statistic at 100 TB (map-side partial counts).
+    Q("q75_vocab",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+                explode(tokens(lower(col("text")))).as("term"))
+        .groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+             count(lit(1)).as("cf"))
+        .orderBy(col("term")),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, unnest($duckToksLower) AS term
+              |  FROM documents)
+              |SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf
+              |FROM t GROUP BY term ORDER BY term""".stripMargin)),
+
+    // KMV (k-minimum-values) distinct-count sketch: hash every value to
+    // 32 bits via md5, keep the K smallest distinct hashes, estimate
+    // |D| = (K-1) * 2^32 / max(kept). Unlike HLL this is exactly
+    // reproducible from SQL, so the sketch itself is oracle-gated; the
+    // production path at 100 TB is approx_count_distinct (HLL), this is
+    // its auditable stand-in. All arithmetic stays on exact-integer
+    // doubles (255 * 2^32 < 2^53), so the floor() is engine-stable.
+    Q("q76_kmv_distinct",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val hv = li.select(
+          conv(substring(md5(col("l_partkey").cast("string")), 1, 8),
+               16, 10).cast("bigint").as("hv")).distinct()
+        val sketch = hv.orderBy(col("hv")).limit(KmvK)
+          .agg(count(lit(1)).cast("int").as("k_used"),
+               max(col("hv")).as("rk"))
+          .select(col("k_used"), col("rk"),
+            // saturated sketch (fewer than K hashes exist) -> the count
+            // is exact; otherwise the (K-1)/R_k ratio estimate
+            when(col("k_used") < KmvK, col("k_used").cast("bigint"))
+              .otherwise(floor(lit((KmvK - 1).toDouble)
+                * lit(4294967296.0) / col("rk").cast("double"))
+                .cast("bigint"))
+              .as("est_distinct"))
+        sketch.crossJoin(
+          li.agg(countDistinct(col("l_partkey")).as("exact_distinct")))
+      },
+      Some(s"""WITH h AS (
+              |  SELECT DISTINCT CAST(concat('0x',
+              |    substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))
+              |    AS BIGINT) AS hv
+              |  FROM lineitem),
+              |topk AS (SELECT hv FROM h ORDER BY hv LIMIT $KmvK),
+              |sk AS (
+              |  SELECT CAST(COUNT(*) AS INTEGER) AS k_used,
+              |    MAX(hv) AS rk,
+              |    CAST(CASE WHEN COUNT(*) < $KmvK THEN COUNT(*)
+              |      ELSE FLOOR(${KmvK - 1}.0 * 4294967296.0
+              |        / CAST(MAX(hv) AS DOUBLE)) END AS BIGINT)
+              |      AS est_distinct
+              |  FROM topk)
+              |SELECT sk.*, e.exact_distinct
+              |FROM sk CROSS JOIN (
+              |  SELECT COUNT(DISTINCT l_partkey) AS exact_distinct
+              |  FROM lineitem) e""".stripMargin)),
+
+    // Heavy hitters: exact global top-20 terms. TakeOrderedAndProject
+    // keeps the top-k partial per partition — only 20 rows per task
+    // cross the final exchange.
+    Q("q77_heavy_hitters",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(explode(tokens(lower(col("text")))).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term"))
+        .limit(20),
+      Some(s"""WITH t AS (
+              |  SELECT unnest($duckToksLower) AS term FROM documents)
+              |SELECT term, COUNT(*) AS cnt FROM t GROUP BY term
+              |ORDER BY cnt DESC, term LIMIT 20""".stripMargin)),
+
+    // Chunk-level dedup: split each doc into fixed 20-token windows,
+    // hash each window, count per doc how many of its chunks appear in
+    // at least one other doc. The explode -> groupBy(hash) -> join-back
+    // shape is the standard boilerplate-detection pass at corpus scale:
+    // two shuffles, both on the chunk hash, no all-pairs anything.
+    Q("q78_chunk_dedup",
+      (s, dir) => {
+        val chunks = Tables.load(s, dir, "documents")
+          .withColumn("toks", tokens(col("text")))
+          .where(size(col("toks")) > 0)
+          .withColumn("chunk", explode(transform(
+            sequence(lit(0),
+              floor((size(col("toks")) - 1) / lit(ChunkW)).cast("int")),
+            i => concat_ws(" ",
+              slice(col("toks"), i * ChunkW + 1, lit(ChunkW))))))
+          .select(col("doc_id"), md5(col("chunk")).as("ch"))
+        val shared = chunks.groupBy(col("ch"))
+          .agg(countDistinct(col("doc_id")).as("ndocs"))
+        chunks.join(shared, "ch")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+               sum(when(col("ndocs") >= 2, 1).otherwise(0))
+                 .as("n_shared"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, $duckToks AS toks FROM documents),
+              |c AS (
+              |  SELECT doc_id,
+              |    md5(array_to_string(list_slice(toks,
+              |      i*$ChunkW + 1, i*$ChunkW + $ChunkW), ' ')) AS ch
+              |  FROM (SELECT doc_id, toks,
+              |          unnest(range(0,
+              |            (len(toks) - 1) // $ChunkW + 1)) AS i
+              |        FROM d WHERE len(toks) > 0)),
+              |sh AS (
+              |  SELECT ch, COUNT(DISTINCT doc_id) AS ndocs
+              |  FROM c GROUP BY ch)
+              |SELECT c.doc_id, COUNT(*) AS n_chunks,
+              |  CAST(SUM(CASE WHEN sh.ndocs >= 2 THEN 1 ELSE 0 END)
+              |       AS BIGINT) AS n_shared
+              |FROM c JOIN sh USING (ch)
+              |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)),
+
+    // Funnel: per user, how far through view -> click -> purchase the
+    // first-occurrence timestamps progress (strictly increasing). One
+    // shuffle on user_id; conditional-min aggregation is map-combined.
+    Q("q79_funnel",
+      (s, dir) => Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("tv"),
+          min(when(col("event_type") === "click", col("ts"))).as("tc"),
+          min(when(col("event_type") === "purchase", col("ts")))
+            .as("tp"))
+        .select(
+          when(col("tv").isNull, 0)
+            .when(col("tc").isNull || col("tc") <= col("tv"), 1)
+            .when(col("tp").isNull || col("tp") <= col("tc"), 2)
+            .otherwise(3).cast("int").as("stage"))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("stage")),
+      Some("""WITH per AS (
+             |  SELECT user_id,
+             |    min(ts) FILTER (WHERE event_type = 'view') AS tv,
+             |    min(ts) FILTER (WHERE event_type = 'click') AS tc,
+             |    min(ts) FILTER (WHERE event_type = 'purchase') AS tp
+             |  FROM events GROUP BY user_id),
+             |st AS (
+             |  SELECT CAST(CASE WHEN tv IS NULL THEN 0
+             |    WHEN tc IS NULL OR tc <= tv THEN 1
+             |    WHEN tp IS NULL OR tp <= tc THEN 2
+             |    ELSE 3 END AS INTEGER) AS stage
+             |  FROM per)
+             |SELECT stage, COUNT(*) AS n_users
+             |FROM st GROUP BY stage ORDER BY stage""".stripMargin)),
+
+    // SQL-text API end-to-end: the identical ANSI text (TPC-H Q3
+    // shape) runs through spark.sql over temp views AND through DuckDB
+    // — same parser surface, same plan quality (join reorder +
+    // pushdown are Catalyst's job, nothing hand-scheduled).
+    Q("q80_sql_api",
+      (s, dir) => {
+        Seq("customer", "orders", "lineitem").foreach(t =>
+          Tables.load(s, dir, t).createOrReplaceTempView(t))
+        s.sql(Q80Sql)
+      },
+      Some(Q80Sql)),
+
+    // Unpivot (melt): wide money columns -> long (measure, amount)
+    // rows, re-aggregated. Spark's Expand node emits the 3 rows per
+    // input without materializing a union of scans — one pass, one
+    // shuffle on `measure`.
+    Q("q81_unpivot",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          Catalog.m(col("l_extendedprice")).as("price"),
+          Catalog.m(col("l_discount")).as("discount"),
+          Catalog.m(col("l_tax")).as("tax"))
+        .unpivot(Array(col("l_orderkey")),
+                 Array(col("price"), col("discount"), col("tax")),
+                 "measure", "amount")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("amount")).cast("double").as("total"))
+        .orderBy(col("measure")),
+      Some("""WITH u AS (
+             |  SELECT 'price' AS measure,
+             |    CAST(l_extendedprice AS DECIMAL(18,2)) AS amount
+             |  FROM lineitem
+             |  UNION ALL SELECT 'discount',
+             |    CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+             |  UNION ALL SELECT 'tax',
+             |    CAST(l_tax AS DECIMAL(18,2)) FROM lineitem)
+             |SELECT measure, COUNT(*) AS n,
+             |  CAST(SUM(amount) AS DOUBLE) AS total
+             |FROM u GROUP BY measure ORDER BY measure""".stripMargin))
+  )
+}

@@ -37,6 +37,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("scrubPii covers domestic phone formats and bounds the last group") {
+    assert(scrub1("call 555-123-4567 now") == "call <PHONE> now")
+    assert(scrub1("call (555) 123-4567 now") == "call <PHONE> now")
+    assert(scrub1("call 555.123.4567 now") == "call <PHONE> now")
+    // trailing \b: a 5-digit final group is not a phone — no partial scrub
+    assert(scrub1("id +1 555-123-45678 x") == "id +1 555-123-45678 x")
+  }
+
+  test("ipv4 pattern range-checks octets") {
+    assert(scrub1("at 999.999.999.999 x") == "at 999.999.999.999 x")
+    assert(scrub1("ver v1.2.3.4 x") == "ver v1.2.3.4 x") // no left boundary
+    assert(scrub1("at 255.255.255.255 x") == "at <IP> x")
+    assert(scrub1("at 256.1.1.1 x") == "at 256.1.1.1 x")
+  }
+
   test("dupNgramFraction and topNgramCount on known repetition") {
     // tokens: a b a b a -> bigrams: "a b","b a","a b","b a" (4 total, 2 distinct)
     val df = Seq("a b a b a", "x y z", "tiny").toDF("t").select(
