@@ -49,15 +49,19 @@ object Bench {
     val totalMin = results.flatMap(_._2.map(_.head)).sum
     val totalMax = results.flatMap(_._2.map(_.last)).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // The harness reading this line keeps only the tail of stdout, so
-    // the JSON must stay compact: per-query medians at ms precision,
-    // degrading one decimal place at a time (3 -> 0) if the catalog
-    // outgrows the budget rather than ever clipping the line head.
+    // The harness reading this line keeps only the LAST 2000 chars of
+    // stdout (measured across BENCH_r01-r04), so the JSON must stay
+    // compact: per-query keys are the short qNN prefix (matching
+    // BASELINE.md's per-query table) at ms precision, degrading one
+    // decimal place at a time (3 -> 0) if the catalog ever outgrows
+    // the budget rather than clipping the line head and breaking the
+    // driver's parse.
     def num(dp: Int, x: Double): String =
       String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(x))
     def jsonLine(dp: Int): String = {
       val qs = results.map { case (k, v) =>
-        "\"" + k + "\":" + num(dp, v.map(med).getOrElse(-1.0))
+        "\"" + k.takeWhile(_ != '_') + "\":" +
+          num(dp, v.map(med).getOrElse(-1.0))
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${num(3, total)},"unit":"sec","runs":$runs,"total_min":${num(3, totalMin)},"total_max":${num(3, totalMax)},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     }

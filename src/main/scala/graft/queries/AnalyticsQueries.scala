@@ -284,6 +284,34 @@ object AnalyticsQueries extends Catalog {
              |    CAST(l_tax AS DECIMAL(18,2)) FROM lineitem)
              |SELECT measure, COUNT(*) AS n,
              |  CAST(SUM(amount) AS DOUBLE) AS total
-             |FROM u GROUP BY measure ORDER BY measure""".stripMargin))
+             |FROM u GROUP BY measure ORDER BY measure""".stripMargin)),
+
+    // Nested-type aggregation surface: per group, a top-3 array (sort
+    // imposed AFTER collect_list so the unordered shuffle arrival
+    // order can't leak into the result) and a sorted distinct set.
+    // Arrays stay decimal-exact so the element-wise hash compare is
+    // engine-stable.
+    Q("q82_nested_agg",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          // sort on the exact decimal grid, surface as double (pandas
+          // reads DuckDB decimal lists as float64 — element types must
+          // agree for the driver's value hash)
+          transform(
+            slice(reverse(array_sort(
+              collect_list(Catalog.m(col("l_quantity"))))), 1, 3),
+            x => x.cast("double")).as("top3_qty"),
+          sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  list_transform(list_slice(list_reverse_sort(
+             |    list(CAST(l_quantity AS DECIMAL(18,2)))), 1, 3),
+             |    x -> CAST(x AS DOUBLE)) AS top3_qty,
+             |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
   )
 }

@@ -106,6 +106,49 @@ object EventStreams {
     else withTs.dropDuplicates("event_id")
   }
 
+  /** Internal funnel state: first-seen epoch-millis per stage event,
+    * Long.MaxValue = not seen yet (public: Catalyst instantiates it).
+    */
+  final case class FunnelState(tv: Long, tc: Long, tp: Long)
+
+  /** Incremental funnel staging — the streaming counterpart of the
+    * batch q79 (AnalyticsQueries): per user, track the FIRST view /
+    * click / purchase timestamps in keyed state and emit the user's
+    * current stage (0-3, strictly-increasing order required) on every
+    * update. State is 3 longs per user — O(users), never O(events) —
+    * and the emitted stage for a user converges to exactly the batch
+    * q79 stage once the same events have flowed through.
+    */
+  def funnelStages(events: Dataset[Event]): Dataset[(Long, Int)] = {
+    import events.sparkSession.implicits._
+    val none = Long.MaxValue
+
+    def stage(st: FunnelState): Int =
+      if (st.tv == none) 0
+      else if (st.tc == none || st.tc <= st.tv) 1
+      else if (st.tp == none || st.tp <= st.tc) 2
+      else 3
+
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, (Long, Int)](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(none, none, none))
+          for (e <- rows) {
+            val t = e.ts.getTime
+            e.event_type match {
+              case "view"     => st = st.copy(tv = math.min(st.tv, t))
+              case "click"    => st = st.copy(tc = math.min(st.tc, t))
+              case "purchase" => st = st.copy(tp = math.min(st.tp, t))
+              case _          => ()
+            }
+          }
+          state.update(st)
+          (userId, stage(st))
+      }
+  }
+
   /** Convenience: events parquet dir as a bounded stream (for tests and
     * replays — production would point readStream at a live source).
     */

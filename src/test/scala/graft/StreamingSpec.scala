@@ -87,6 +87,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStages advances incrementally and matches batch staging") {
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.funnelStages(input.toDS())
+      .toDF("user_id", "stage")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      // user 1 views in batch 1 -> stage 1
+      input.addData(Event(1, ts(0), 1, "view", 1.0))
+      q.processAllAvailable()
+      val after1 = spark.table("funnel_out")
+        .filter($"user_id" === 1).select($"stage").as[Int].collect()
+      assert(after1.toSeq == Seq(1))
+      // click then purchase arrive later (out of order within the
+      // batch is fine — only the per-type minima matter) -> stage 3;
+      // user 2's purchase-before-view stays stage 1
+      input.addData(
+        Event(2, ts(10), 1, "purchase", 5.0),
+        Event(3, ts(5), 1, "click", 0.0),
+        Event(4, ts(3), 2, "purchase", 9.0),
+        Event(5, ts(7), 2, "view", 1.0))
+      q.processAllAvailable()
+      val last = spark.table("funnel_out").collect()
+        .groupBy(_.getLong(0)).map { case (u, rows) => u -> rows.last.getInt(1) }
+      assert(last(1L) == 3)
+      assert(last(2L) == 1)
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions after the gap, keeps state per user") {
     val input = MemoryStream[Event](spark)
     val q = EventStreams.sessionize(input.toDS(), gapMinutes = 10)
