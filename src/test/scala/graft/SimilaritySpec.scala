@@ -54,6 +54,16 @@ class SimilaritySpec extends SparkSpec {
     assert(multi.intersect(brute).size >= single.intersect(brute).size,
       s"single=$rs multi=$rm")
     assert(rm >= 0.5, s"multi-probe recall=$rm")
+    // widening the probe radius is monotone in recall: H2 probes a
+    // strict superset of H1's buckets
+    val multi2 = pairs(Similarity.lshTopKMultiProbe(
+      e.filter($"vec_id" < 10), e, "vec_id", "embedding", 5, 4,
+      maxHamming = 2))
+    val rm2 = multi2.intersect(brute).size.toDouble / brute.size
+    info(s"recall@5 H2-probe=$rm2")
+    assert(multi2.intersect(brute).size >= multi.intersect(brute).size,
+      s"H1=$rm H2=$rm2")
+    assert(rm2 >= 0.7, s"H2 multi-probe recall=$rm2")
   }
 
   test("blocked near-dup emits exactly the same-bucket subset of exact pairs") {
