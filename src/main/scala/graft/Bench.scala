@@ -58,6 +58,17 @@ object Bench {
     // driver's parse.
     def num(dp: Int, x: Double): String =
       String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(x))
+    // qNN-prefix keys must stay unique or the JSON object silently
+    // drops entries (later key wins) — fail loudly on a future
+    // catalog collision instead of corrupting the bench artifact
+    locally {
+      val prefixes = results.map(_._1.takeWhile(_ != '_'))
+      val dups = prefixes.groupBy(identity).collect {
+        case (p, ps) if ps.size > 1 => p
+      }
+      require(dups.isEmpty,
+        s"duplicate bench query prefixes: ${dups.mkString(",")}")
+    }
     def jsonLine(dp: Int): String = {
       val qs = results.map { case (k, v) =>
         "\"" + k.takeWhile(_ != '_') + "\":" +

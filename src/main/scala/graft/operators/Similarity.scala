@@ -88,6 +88,11 @@ object Similarity {
   def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame,
                         id: String, vec: String, k: Int, nbits: Int,
                         roundTo: Int = 9, maxHamming: Int = 1): DataFrame = {
+    // masks() terminates its popcount bound only at h == 0, so a
+    // negative radius would silently enumerate ALL 2^nbits masks
+    // (full cross-bucket probe) instead of failing
+    require(maxHamming >= 0 && maxHamming <= nbits,
+      s"maxHamming must be in [0, $nbits], got $maxHamming")
     import org.apache.spark.sql.expressions.Window
     // all XOR masks with popcount <= maxHamming, built combinatorially
     // (never enumerates 2^nbits)

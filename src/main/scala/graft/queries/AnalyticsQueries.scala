@@ -289,27 +289,32 @@ object AnalyticsQueries extends Catalog {
     // Nested-type aggregation surface: per group, a top-3 array (sort
     // imposed AFTER collect_list so the unordered shuffle arrival
     // order can't leak into the result) and a sorted distinct set.
-    // Arrays stay decimal-exact so the element-wise hash compare is
-    // engine-stable.
+    // Arrays are computed decimal-exact, then SERIALIZED to a single
+    // comma-joined string on both engines: the correctness driver
+    // sorts result rows with pandas, and list/ndarray cells are
+    // unhashable there (r5 gate error) — a canonical string cell is
+    // sortable, hashable, and still pins element values AND order.
     Q("q82_nested_agg",
       (s, dir) => Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          // sort on the exact decimal grid, surface as double (pandas
-          // reads DuckDB decimal lists as float64 — element types must
-          // agree for the driver's value hash)
-          transform(
+          // decimal->string keeps the exact "NN.NN" rendering on the
+          // 2-decimal grid; DuckDB's DECIMAL(18,2)::VARCHAR agrees
+          concat_ws(",", transform(
             slice(reverse(array_sort(
               collect_list(Catalog.m(col("l_quantity"))))), 1, 3),
-            x => x.cast("double")).as("top3_qty"),
-          sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+            x => x.cast("string"))).as("top3_qty"),
+          concat_ws(",", sort_array(collect_set(col("l_linestatus"))))
+            .as("statuses"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag")),
       Some("""SELECT l_returnflag,
-             |  list_transform(list_slice(list_reverse_sort(
-             |    list(CAST(l_quantity AS DECIMAL(18,2)))), 1, 3),
-             |    x -> CAST(x AS DOUBLE)) AS top3_qty,
-             |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+             |  array_to_string(list_transform(list_slice(
+             |    list_reverse_sort(
+             |      list(CAST(l_quantity AS DECIMAL(18,2)))), 1, 3),
+             |    x -> CAST(x AS VARCHAR)), ',') AS top3_qty,
+             |  array_to_string(list_sort(list(DISTINCT l_linestatus)),
+             |    ',') AS statuses,
              |  COUNT(*) AS n
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin))
