@@ -317,6 +317,31 @@ object AnalyticsQueries extends Catalog {
              |    ',') AS statuses,
              |  COUNT(*) AS n
              |FROM lineitem GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // GROUPING SETS with an explicit (non-rollup, non-cube) set list:
+    // two independent one-dimension summaries + grand total in ONE
+    // pass (Spark's Expand node), where separate GROUP BYs would scan
+    // three times. The identical ANSI text runs on both engines
+    // (q80-style): GROUPING() disambiguates real nulls from
+    // summary-level nulls.
+    Q("q87_grouping_sets",
+      (s, dir) => {
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql(Q87Sql)
+      },
+      Some(Q87Sql))
   )
+
+  private lazy val Q87Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS INTEGER) * 2
+      |    + CAST(GROUPING(o_orderpriority) AS INTEGER) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+      |         o_orderpriority ASC NULLS FIRST""".stripMargin
 }

@@ -196,6 +196,32 @@ object EventQueries extends Catalog {
              |    row_number() OVER (PARTITION BY user_id
              |      ORDER BY COUNT(*) DESC, event_type) AS rn
              |  FROM events GROUP BY user_id, event_type) t
-             |WHERE rn = 1 ORDER BY user_id""".stripMargin))
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // SCD2 change tracking: collapse each user's event-type log into
+    // validity intervals (see operators.Scd2 for the scale contract)
+    Q("q86_scd2",
+      (s, dir) => graft.operators.Scd2.collapse(
+          Tables.load(s, dir, "events"),
+          "user_id", "event_type", "ts", "event_id")
+        .orderBy(col("user_id"), col("seg")),
+      Some("""WITH l AS (
+             |  SELECT user_id, event_type, ts,
+             |    LAG(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev, event_id
+             |  FROM events),
+             |f AS (SELECT *, CASE WHEN prev IS NULL
+             |    OR prev <> event_type THEN 1 ELSE 0 END AS chg FROM l),
+             |g AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+             |    AS BIGINT) AS seg FROM f),
+             |s AS (SELECT user_id, seg, event_type,
+             |    MIN(ts) AS valid_from, COUNT(*) AS n_events
+             |  FROM g GROUP BY user_id, seg, event_type)
+             |SELECT user_id, seg, event_type, valid_from,
+             |  LEAD(valid_from) OVER (PARTITION BY user_id
+             |    ORDER BY seg) AS valid_to,
+             |  n_events
+             |FROM s ORDER BY user_id, seg""".stripMargin))
   )
 }

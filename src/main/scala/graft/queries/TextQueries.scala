@@ -271,6 +271,89 @@ object TextQueries extends Catalog {
               |      ORDER BY tfidf DESC, term) AS INTEGER) AS rank
               |  FROM scored)
               |SELECT doc_id, term, tfidf, rank FROM ranked
-              |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
+              |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
+    // Benchmark decontamination: per corpus doc, distinct-trigram
+    // overlap with a held-out eval set (doc_id % 50 == 0 stands in
+    // for the benchmark suite). Eval n-gram hashes are broadcast; the
+    // corpus is one scan and never shuffles on the n-gram key.
+    Q("q83_decontam",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.Decontaminate.overlap(
+            docs.filter(col("doc_id") % 50 =!= 0),
+            docs.filter(col("doc_id") % 50 === 0),
+            "doc_id", "text", 3)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $duckToks AS toks FROM documents),
+              |s AS (SELECT doc_id,
+              |  list_distinct(CASE WHEN len(toks) >= 3
+              |    THEN list_transform(range(0, len(toks)-2),
+              |           i -> array_to_string(list_slice(toks, i+1, i+3), ' '))
+              |    ELSE [] END) AS dg
+              |  FROM d),
+              |e AS (SELECT DISTINCT md5(g) AS egram FROM (
+              |  SELECT unnest(dg) AS g FROM s WHERE doc_id % 50 = 0)),
+              |c AS (SELECT doc_id, md5(g) AS cgram FROM (
+              |  SELECT doc_id,
+              |    unnest(CASE WHEN len(dg) = 0 THEN [NULL] ELSE dg END) AS g
+              |  FROM s WHERE doc_id % 50 <> 0))
+              |SELECT c.doc_id, COUNT(cgram) AS n_grams,
+              |  COUNT(egram) AS n_hits, COUNT(egram) > 0 AS contaminated
+              |FROM c LEFT JOIN e ON cgram = egram
+              |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Unigram-LM familiarity scoring (log-free; see UnigramLm docs):
+    // exact-rational mean token frequency + scale-invariant rare count
+    Q("q84_unigram_lm",
+      (s, dir) => graft.operators.UnigramLm.score(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, unnest($duckToksLower) AS term FROM documents),
+              |v AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY 1),
+              |st AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+              |  COUNT(*) AS n_vocab FROM v),
+              |v2 AS (SELECT term, cnt,
+              |  (cnt * n_vocab * 4 < total) AS rare, total
+              |  FROM v CROSS JOIN st),
+              |p AS (SELECT doc_id, COUNT(*) AS n_tokens,
+              |  CAST(SUM(cnt) AS BIGINT) AS sum_cnt,
+              |  CAST(SUM(CASE WHEN rare THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+              |  MIN(total) AS total
+              |  FROM t JOIN v2 USING (term) GROUP BY 1)
+              |SELECT doc_id, n_tokens, sum_cnt, n_rare,
+              |  ROUND(CAST(sum_cnt AS DOUBLE) / (total * n_tokens), 9)
+              |    AS avg_freq
+              |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // Document-length histogram: fixed 200-char buckets (capped at
+    // 10), share of corpus per bucket — the at-a-glance length
+    // distribution every curation pass starts from. Pure single
+    // groupBy; the tiny post-agg window costs nothing.
+    Q("q85_doc_length_hist",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.load(s, dir, "documents")
+          .groupBy(least(floor(col("n_chars") / lit(200.0)), lit(10))
+            .cast("int").as("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+               min(col("n_chars")).as("min_chars"),
+               max(col("n_chars")).as("max_chars"))
+          .withColumn("share", round(col("n_docs").cast("double")
+            / sum(col("n_docs")).over(Window.partitionBy()), 6))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH b AS (SELECT
+             |  CAST(LEAST(CAST(FLOOR(n_chars / 200.0) AS BIGINT), 10)
+             |    AS INTEGER) AS bucket,
+             |  COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
+             |  MAX(n_chars) AS max_chars
+             |  FROM documents GROUP BY 1)
+             |SELECT bucket, n_docs, min_chars, max_chars,
+             |  ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6)
+             |    AS share
+             |FROM b ORDER BY bucket""".stripMargin))
   )
 }
