@@ -63,21 +63,11 @@ case class ShingleMd5(child: Expression, shingleLen: Int)
     i = 0
     while (it.hasNext) {
       md.reset()
-      out(i) = UTF8String.fromString(hex(md.digest(it.next().getBytes)))
+      out(i) =
+        UTF8String.fromString(Hex.hex(md.digest(it.next().getBytes)))
       i += 1
     }
     new GenericArrayData(out)
-  }
-
-  private def hex(bytes: Array[Byte]): String = {
-    val sb = new java.lang.StringBuilder(32)
-    var i = 0
-    while (i < bytes.length) {
-      sb.append(Character.forDigit((bytes(i) >> 4) & 0xf, 16))
-      sb.append(Character.forDigit(bytes(i) & 0xf, 16))
-      i += 1
-    }
-    sb.toString
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleMd5 =
@@ -90,4 +80,75 @@ object ShingleMd5 {
 
   def shingleMd5(tokens: Column, n: Int): Column =
     toColumn(ShingleMd5(toExpression(tokens), n))
+}
+
+/** md5 hex digests of fixed-width non-overlapping token chunks
+  * (stride = chunkLen, the tail partial chunk included, duplicates
+  * KEPT — chunk multiplicity is the boilerplate signal), one pass.
+  *
+  * Semantically identical to q78's composed
+  * `md5 ∘ explode ∘ transform(sequence(0, floor((n-1)/W)), i =>
+  * concat_ws(" ", slice(toks, i*W+1, W)))` form, minus the
+  * interpreted higher-order lambda on the explode path (same
+  * pathology ShingleMd5 documents).
+  */
+case class ChunkMd5(child: Expression, chunkLen: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "chunk_md5"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val md = MessageDigest.getInstance("MD5")
+    val buf = new java.io.ByteArrayOutputStream(256)
+    val out = new Array[Any]((n + chunkLen - 1) / chunkLen)
+    var c = 0
+    var i = 0
+    while (i < n) {
+      buf.reset()
+      val end = math.min(i + chunkLen, n)
+      var w = i
+      while (w < end) {
+        if (w > i) buf.write(' ')
+        val t = if (arr.isNullAt(w)) Array.emptyByteArray
+                else arr.getUTF8String(w).getBytes
+        buf.write(t, 0, t.length)
+        w += 1
+      }
+      md.reset()
+      out(c) = UTF8String.fromString(Hex.hex(md.digest(buf.toByteArray)))
+      c += 1
+      i += chunkLen
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkMd5 =
+    copy(child = newChild)
+}
+
+object ChunkMd5 {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+
+  def chunkMd5(tokens: Column, w: Int): Column =
+    toColumn(ChunkMd5(toExpression(tokens), w))
+}
+
+private[expressions] object Hex {
+  def hex(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < bytes.length) {
+      sb.append(Character.forDigit((bytes(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(bytes(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
 }

@@ -172,17 +172,17 @@ object AnalyticsQueries extends Catalog {
     // at least one other doc. The explode -> groupBy(hash) -> join-back
     // shape is the standard boilerplate-detection pass at corpus scale:
     // two shuffles, both on the chunk hash, no all-pairs anything.
+    // Chunk+hash runs through the one-pass ChunkMd5 expression (the
+    // composed transform/slice form pays the interpreted higher-order
+    // lambda on the explode path — see ShingleMd5's docs).
     Q("q78_chunk_dedup",
       (s, dir) => {
         val chunks = Tables.load(s, dir, "documents")
           .withColumn("toks", tokens(col("text")))
           .where(size(col("toks")) > 0)
-          .withColumn("chunk", explode(transform(
-            sequence(lit(0),
-              floor((size(col("toks")) - 1) / lit(ChunkW)).cast("int")),
-            i => concat_ws(" ",
-              slice(col("toks"), i * ChunkW + 1, lit(ChunkW))))))
-          .select(col("doc_id"), md5(col("chunk")).as("ch"))
+          .select(col("doc_id"),
+            explode(graft.functions.expressions.ChunkMd5
+              .chunkMd5(col("toks"), ChunkW)).as("ch"))
         val shared = chunks.groupBy(col("ch"))
           .agg(countDistinct(col("doc_id")).as("ndocs"))
         chunks.join(shared, "ch")

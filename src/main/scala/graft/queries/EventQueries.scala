@@ -222,6 +222,73 @@ object EventQueries extends Catalog {
              |  LEAD(valid_from) OVER (PARTITION BY user_id
              |    ORDER BY seg) AS valid_to,
              |  n_events
-             |FROM s ORDER BY user_id, seg""".stripMargin))
+             |FROM s ORDER BY user_id, seg""".stripMargin)),
+
+    // Schema-on-read JSON: from_json with an explicit DDL schema (the
+    // typed path — parse once, typed struct out, absent keys surface
+    // as typed nulls), vs q62's regexp extraction. Map-only.
+    Q("q88_json_parse",
+      (s, dir) => Tables.load(s, dir, "events")
+        .withColumn("p",
+          from_json(col("props"), "k INT, missing INT",
+            Map.empty[String, String]))
+        .select(col("event_id"), col("p.k").as("k"),
+                col("p.k").isNotNull.as("has_k"),
+                col("p.missing").as("missing"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+             |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             |  json_extract_string(props, '$.k') IS NOT NULL AS has_k,
+             |  CAST(json_extract_string(props, '$.missing') AS INTEGER)
+             |    AS missing
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Time-series densification: per-user daily rollup, calendar
+    // gap-fill over each user's own [min, max] span (sequence +
+    // explode — spans are bounded per entity, so the generated rows
+    // are O(users × days), never a global cross join), zero-fill plus
+    // LOCF (last observation carried forward) via an ignore-nulls
+    // running last_value. Day surfaces as a yyyy-MM-dd string so the
+    // cross-engine compare is representation-stable.
+    Q("q89_gap_fill",
+      (s, dir) => {
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("n"),
+               Catalog.dsumCol(col("value")).as("sum_value"))
+        val spans = daily.groupBy(col("user_id"))
+          .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        val cal = spans.select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("d"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cal.join(daily, Seq("user_id", "d"), "left")
+          .withColumn("locf_value",
+            last(col("sum_value"), ignoreNulls = true).over(w))
+          .select(col("user_id"),
+                  date_format(col("d"), "yyyy-MM-dd").as("day"),
+                  coalesce(col("n"), lit(0L)).as("n"),
+                  coalesce(col("sum_value"), lit(0.0)).as("sum_value"),
+                  col("locf_value"))
+          .orderBy(col("user_id"), col("day"))
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n,
+              |    ${Catalog.dsum("value")} AS sum_value
+              |  FROM events GROUP BY 1, 2),
+              |spans AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1
+              |  FROM daily GROUP BY 1),
+              |cal AS (SELECT user_id,
+              |  CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+              |    AS DATE) AS d FROM spans)
+              |SELECT c.user_id, strftime(c.d, '%Y-%m-%d') AS day,
+              |  COALESCE(n, 0) AS n,
+              |  COALESCE(sum_value, 0.0) AS sum_value,
+              |  last_value(sum_value IGNORE NULLS) OVER (
+              |    PARTITION BY c.user_id ORDER BY c.d
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |    AS locf_value
+              |FROM cal c LEFT JOIN daily USING (user_id, d)
+              |ORDER BY user_id, day""".stripMargin))
   )
 }

@@ -113,4 +113,38 @@ class CustomExpressionsSpec extends SparkSpec {
       .orderBy($"doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("ShingleMd5 == md5 over array_distinct(shingles) composition") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val toks = TextFunctions.tokens($"text")
+    val a = docs.select($"doc_id",
+      transform(array_distinct(TextFunctions.shinglesOf(toks, 3)),
+        g => md5(g)).as("hs")).orderBy($"doc_id").collect().toSeq
+    val b = docs.select($"doc_id",
+      graft.functions.expressions.ShingleMd5.shingleMd5(toks, 3).as("hs"))
+      .orderBy($"doc_id").collect().toSeq
+    assert(a == b)
+    // short-doc edge: < n tokens -> empty array, null text -> null
+    val edge = Seq((1L, "a b"), (2L, null)).toDF("doc_id", "text")
+    val r = edge.select(graft.functions.expressions.ShingleMd5
+        .shingleMd5(TextFunctions.tokens($"text"), 3).as("hs"))
+      .orderBy($"doc_id").collect()
+    assert(r(0).getSeq[String](0).isEmpty && r(1).isNullAt(0))
+  }
+
+  test("ChunkMd5 == md5 over stride-window transform composition") {
+    val W = 20
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("toks", TextFunctions.tokens($"text"))
+      .where(size($"toks") > 0)
+    val a = docs.select($"doc_id",
+      transform(sequence(lit(0),
+          floor((size($"toks") - 1) / lit(W)).cast("int")),
+        i => md5(concat_ws(" ", slice($"toks", i * W + 1, lit(W)))))
+        .as("hs")).orderBy($"doc_id").collect().toSeq
+    val b = docs.select($"doc_id",
+      graft.functions.expressions.ChunkMd5.chunkMd5($"toks", W).as("hs"))
+      .orderBy($"doc_id").collect().toSeq
+    assert(a == b)
+  }
 }
