@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{MultiMinHash, SortedIntersectCount, SortedIntersectCountLong, TokenFingerprint}
+import graft.functions.expressions.{ChunkMd5, DotProduct, MultiMinHash, ShingleMd5, SortedIntersectCount, SortedIntersectCountLong, TokenFingerprint}
 
 /** SQL-surface registration of the engine's custom expressions, so
   * `spark.sql("SELECT token_fingerprint(lower(text)) …")` works.
@@ -49,7 +49,16 @@ object GraftExtensions {
     ("token_fingerprint",
       new ExpressionInfo(classOf[TokenFingerprint].getName,
         "token_fingerprint"),
-      (es: Seq[Expression]) => TokenFingerprint(es.head)))
+      (es: Seq[Expression]) => TokenFingerprint(es.head)),
+    ("dot_product",
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (es: Seq[Expression]) => DotProduct(es.head, es(1))),
+    ("shingle_md5",
+      new ExpressionInfo(classOf[ShingleMd5].getName, "shingle_md5"),
+      (es: Seq[Expression]) => ShingleMd5(es.head, intLit(es(1)))),
+    ("chunk_md5",
+      new ExpressionInfo(classOf[ChunkMd5].getName, "chunk_md5"),
+      (es: Seq[Expression]) => ChunkMd5(es.head, intLit(es(1)))))
 
   /** Register into an existing session's temp-function registry. */
   def register(spark: SparkSession): Unit =

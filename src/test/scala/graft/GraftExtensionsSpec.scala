@@ -13,11 +13,24 @@ class GraftExtensionsSpec extends SparkSpec {
         |  md5('a b') AS expected_fp,
         |  sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS n,
         |  element_at(multi_min_hash(array('x','y','z'), 2, 3), 1) AS m0,
-        |  md5('0:x y z') AS expected_m0
+        |  md5('0:x y z') AS expected_m0,
+        |  dot_product(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS dp,
+        |  shingle_md5(array('a','b','c','b','c'), 2) AS sh,
+        |  md5('a b') AS expected_sh0,
+        |  chunk_md5(array('a','b','c'), 2) AS ch,
+        |  md5('c') AS expected_ch1
         |""".stripMargin).collect()(0)
     assert(row.getAs[String]("fp") == row.getAs[String]("expected_fp"))
     assert(row.getAs[Int]("n") == 2)
     assert(row.getAs[String]("m0") == row.getAs[String]("expected_m0"))
+    assert(row.getAs[Double]("dp") == 11.0)
+    // 3 distinct bigrams of (a b c b c) — "b c" repeats; first is "a b"
+    assert(row.getSeq[String](row.fieldIndex("sh")).size == 3 &&
+      row.getSeq[String](row.fieldIndex("sh")).head ==
+        row.getAs[String]("expected_sh0"))
+    // chunks of (a b c) at width 2: "a b", tail "c"
+    assert(row.getSeq[String](row.fieldIndex("ch")).last ==
+      row.getAs[String]("expected_ch1"))
   }
 
   test("extensions class injects the same functions at session build") {
@@ -25,6 +38,7 @@ class GraftExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(ext) // must not throw; builders wired
     assert(GraftExtensions.functions.map(_._1).toSet ==
       Set("multi_min_hash", "sorted_intersect_count",
-          "sorted_intersect_count_long", "token_fingerprint"))
+          "sorted_intersect_count_long", "token_fingerprint",
+          "dot_product", "shingle_md5", "chunk_md5"))
   }
 }
