@@ -14,7 +14,8 @@ object SparkEntry {
   /** Every query catalog in the engine. Order matters only for display. */
   val catalogs: Seq[Catalog] = Seq(
     CoreQueries, CoreQueries2, CoreQueries3, TextQueries, DedupQueries,
-    SimilarityQueries, EventQueries, AnalyticsQueries)
+    SimilarityQueries, EventQueries, AnalyticsQueries,
+    IncrementalQueries)
 
   private lazy val allQueries: Seq[Q] = catalogs.flatMap(_.queries)
 

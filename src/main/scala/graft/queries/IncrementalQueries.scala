@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-6 catalog: the built-in session-window operator, a
+  * deterministic-sample quantile estimator, and mergeable
+  * partial-aggregate maintenance — the algebraic pieces an
+  * incremental 100 TB pipeline leans on.
+  */
+object IncrementalQueries extends Catalog {
+
+  override val queries: Seq[Q] = Seq(
+
+    // Spark's BUILT-IN session_window (vs q61/q65's hand-rolled
+    // lag-window islands): events merge while each starts within
+    // `gap` of the session's rolling end, so a new session opens at
+    // diff >= gap (the hand-rolled variants use strict >; boundary
+    // semantics pinned here and mirrored in the oracle), and
+    // session_end = last event + gap. In streaming the same plan
+    // gets watermark-driven state eviction for free.
+    Q("q90_session_window",
+      (s, dir) => Tables.load(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+             Catalog.dsumCol(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start")),
+      Some(s"""WITH m AS (
+              |  SELECT user_id, event_id, ts, value,
+              |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+              |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+              |         >= 1800000000
+              |    THEN 1 ELSE 0 END AS new_sess
+              |  FROM events
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              |g AS (SELECT *, SUM(new_sess) OVER (
+              |    PARTITION BY user_id ORDER BY ts, event_id
+              |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+              |SELECT user_id, MIN(ts) AS session_start,
+              |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+              |  COUNT(*) AS n_events, ${Catalog.dsum("value")} AS sum_value
+              |FROM g GROUP BY user_id, sid
+              |ORDER BY user_id, session_start""".stripMargin)),
+
+    // Deterministic-sample quantile estimation: the md5-prefix sample
+    // (q48's pattern — same rows on any engine/cluster) feeds an
+    // exact percentile; the full-data percentile rides along so the
+    // estimate's error is part of the gated result. At 100 TB the
+    // sample is a map-side filter — the sort/percentile runs on ~10%
+    // of the data, and the "exact" side is what you'd skip.
+    Q("q91_approx_quantile",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        val sampled = l.filter(
+          substring(md5(concat_ws("-",
+            col("l_orderkey"), col("l_linenumber"))), 1, 2) < "1a")
+        val est = sampled.groupBy(col("l_returnflag"))
+          .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6)
+                 .as("est_p50"),
+               count(lit(1)).as("n_sample"))
+        val exact = l.groupBy(col("l_returnflag"))
+          .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6)
+                 .as("exact_p50"),
+               count(lit(1)).as("n_total"))
+        est.join(exact, Seq("l_returnflag"))
+          .withColumn("abs_err",
+            round(abs(col("est_p50") - col("exact_p50")), 6))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH s AS (
+             |  SELECT l_returnflag,
+             |    ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS est_p50,
+             |    COUNT(*) AS n_sample
+             |  FROM lineitem
+             |  WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+             |    || CAST(l_linenumber AS VARCHAR)), 1, 2) < '1a'
+             |  GROUP BY l_returnflag),
+             |e AS (
+             |  SELECT l_returnflag,
+             |    ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+             |    COUNT(*) AS n_total
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, est_p50, n_sample, exact_p50, n_total,
+             |  ROUND(ABS(est_p50 - exact_p50), 6) AS abs_err
+             |FROM s JOIN e USING (l_returnflag)
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // Incremental aggregate maintenance: partial aggregates from a
+    // base batch and a delta batch merge algebraically (counts and
+    // decimal sums add, min/max fold) — the oracle aggregates the
+    // union directly, proving merge == recompute. This is the
+    // contract that lets a 100 TB rollup absorb a new partition
+    // without rescanning history.
+    Q("q92_incremental_agg",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        def part(df: DataFrame) = df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+               sum(Catalog.m(col("o_totalprice"))).as("s"),
+               min(col("o_totalprice")).as("mn"),
+               max(col("o_totalprice")).as("mx"))
+        part(o.filter(col("o_orderkey") % 10 =!= 0))
+          .unionByName(part(o.filter(col("o_orderkey") % 10 === 0)))
+          .groupBy(col("o_orderstatus"))
+          .agg(sum(col("n")).as("n_orders"),
+               sum(col("s")).cast("double").as("sum_price"),
+               min(col("mn")).as("min_price"),
+               max(col("mx")).as("max_price"))
+          .withColumn("avg_price",
+            round(col("sum_price") / col("n_orders"), 6))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+              |  ${Catalog.dsum("o_totalprice")} AS sum_price,
+              |  MIN(o_totalprice) AS min_price,
+              |  MAX(o_totalprice) AS max_price,
+              |  ROUND(${Catalog.dsum("o_totalprice")} / COUNT(*), 6)
+              |    AS avg_price
+              |FROM orders GROUP BY o_orderstatus
+              |ORDER BY o_orderstatus""".stripMargin))
+  )
+}
