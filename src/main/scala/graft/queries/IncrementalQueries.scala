@@ -124,6 +124,63 @@ object IncrementalQueries extends Catalog {
               |  ROUND(${Catalog.dsum("o_totalprice")} / COUNT(*), 6)
               |    AS avg_price
               |FROM orders GROUP BY o_orderstatus
-              |ORDER BY o_orderstatus""".stripMargin))
+              |ORDER BY o_orderstatus""".stripMargin)),
+
+    // MERGE INTO (upsert) emulation: apply a deterministic changes
+    // batch (updates %5, inserts %7, deletes %11 of o_orderkey) to a
+    // base table. NOT a full-outer join: the scale-correct
+    // decomposition is base LEFT JOIN broadcast(delta) (update/delete
+    // in place, base never shuffles) UNION the insert rows — the
+    // delta is the small side by construction in any incremental
+    // pipeline. The oracle applies the same merge via full outer
+    // join, so the decomposition is proven equivalent.
+    Q("q93_merge_upsert",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+                  col("o_totalprice"))
+        val base = o.filter(col("o_orderkey") % 7 =!= 0)
+        val changes = o.filter(col("o_orderkey") % 7 === 0
+            || col("o_orderkey") % 5 === 0
+            || col("o_orderkey") % 11 === 0)
+          .select(col("o_orderkey"),
+            col("o_orderstatus").as("c_status"),
+            when(col("o_orderkey") % 11 === 0, "D")
+              .when(col("o_orderkey") % 7 === 0, "I")
+              .otherwise("U").as("op"),
+            (Catalog.m(col("o_totalprice")) + lit(1000))
+              .as("new_price"))
+        val upserted = base
+          .join(broadcast(changes), Seq("o_orderkey"), "left")
+          .filter(col("op").isNull || col("op") =!= "D")
+          .select(col("o_orderkey"),
+            coalesce(col("c_status"), col("o_orderstatus"))
+              .as("o_orderstatus"),
+            when(col("op") === "U", col("new_price"))
+              .otherwise(Catalog.m(col("o_totalprice")))
+              .cast("double").as("price"))
+        val inserts = changes.filter(col("op") === "I")
+          .select(col("o_orderkey"), col("c_status").as("o_orderstatus"),
+                  col("new_price").cast("double").as("price"))
+        upserted.unionByName(inserts).orderBy(col("o_orderkey"))
+      },
+      Some("""WITH b AS (SELECT o_orderkey, o_orderstatus,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+             |  FROM orders WHERE o_orderkey % 7 <> 0),
+             |c AS (SELECT o_orderkey, o_orderstatus AS c_status,
+             |    CASE WHEN o_orderkey % 11 = 0 THEN 'D'
+             |         WHEN o_orderkey % 7 = 0 THEN 'I'
+             |         ELSE 'U' END AS op,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) + 1000 AS new_price
+             |  FROM orders
+             |  WHERE o_orderkey % 7 = 0 OR o_orderkey % 5 = 0
+             |     OR o_orderkey % 11 = 0)
+             |SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+             |  COALESCE(c.c_status, b.o_orderstatus) AS o_orderstatus,
+             |  CAST(CASE WHEN c.op IN ('U', 'I') THEN c.new_price
+             |       ELSE b.price END AS DOUBLE) AS price
+             |FROM b FULL OUTER JOIN c ON b.o_orderkey = c.o_orderkey
+             |WHERE c.op IS NULL OR c.op <> 'D'
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }
