@@ -181,6 +181,55 @@ object IncrementalQueries extends Catalog {
              |       ELSE b.price END AS DOUBLE) AS price
              |FROM b FULL OUTER JOIN c ON b.o_orderkey = c.o_orderkey
              |WHERE c.op IS NULL OR c.op <> 'D'
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Blocked fuzzy entity resolution: a deterministic "dirty feed"
+    // (one char dropped from each part name's noun, q71's
+    // augmentation pattern) resolved back to the clean catalog —
+    // equi-join on the adjective block, Levenshtein within block,
+    // best match per probe (see operators.FuzzyResolve for the scale
+    // contract).
+    Q("q94_fuzzy_match",
+      (s, dir) => {
+        val p = Tables.load(s, dir, "part")
+          .select(col("p_partkey"), col("p_name"),
+            split(col("p_name"), " ").getItem(0).as("blk"),
+            split(col("p_name"), " ").getItem(1).as("noun"))
+        val pos = col("p_partkey") % length(col("noun"))
+        val dirty = p.select(col("p_partkey").as("d_id"), col("blk"),
+          concat(col("blk"), lit(" "),
+            col("noun").substr(lit(1), pos),
+            col("noun").substr(pos + 2, lit(100))).as("d_name"))
+        graft.operators.FuzzyResolve.bestMatch(
+            dirty, p.select(col("p_partkey"), col("p_name"), col("blk")),
+            "blk", "d_id", "d_name", "p_partkey", "p_name", maxDist = 2)
+          .withColumnRenamed("p_partkey", "match_id")
+          .withColumnRenamed("p_name", "match_name")
+          .orderBy(col("d_id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT p_partkey, p_name,
+             |    split_part(p_name, ' ', 1) AS blk,
+             |    split_part(p_name, ' ', 2) AS noun
+             |  FROM part),
+             |d AS (
+             |  SELECT p_partkey AS d_id, blk,
+             |    blk || ' ' ||
+             |      substr(noun, 1, (p_partkey % length(noun))) ||
+             |      substr(noun, (p_partkey % length(noun)) + 2, 100)
+             |      AS d_name
+             |  FROM p),
+             |cand AS (
+             |  SELECT d.d_id, d.d_name, p.p_partkey AS match_id,
+             |    p.p_name AS match_name,
+             |    CAST(levenshtein(d.d_name, p.p_name) AS INTEGER) AS dist
+             |  FROM d JOIN p USING (blk)
+             |  WHERE levenshtein(d.d_name, p.p_name) <= 2),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY d_id
+             |    ORDER BY dist, match_id) AS rn
+             |  FROM cand)
+             |SELECT d_id, d_name, match_id, match_name, dist
+             |FROM ranked WHERE rn = 1 ORDER BY d_id""".stripMargin))
   )
 }

@@ -86,6 +86,24 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(gaps == 0)
   }
 
+  test("fuzzy resolve picks lowest distance, breaks ties by min id") {
+    val clean = Seq(
+      (10L, "b", "acme corp"), (3L, "b", "acme gorp"),
+      (7L, "b", "acme gorp"), (1L, "z", "zzz")
+    ).toDF("cid", "blk", "cname")
+    val dirty = Seq(
+      (100L, "b", "acme gorp"),   // exact: ids 3/7 -> min 3
+      (101L, "b", "acme corpse"), // dist 2 to corp only
+      (102L, "b", "unrelated"),   // no candidate -> dropped
+      (103L, "y", "acme corp")    // block mismatch -> dropped
+    ).toDF("did", "blk", "dname")
+    val out = operators.FuzzyResolve
+      .bestMatch(dirty, clean, "blk", "did", "dname", "cid", "cname", 2)
+      .orderBy("did").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(4)))
+    assert(out.toSeq == Seq((100L, 3L, 0), (101L, 10L, 2)))
+  }
+
   test("unigram LM: avg_freq is a probability-like mean in (0, 1]") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val bad = UnigramLm.score(docs, "doc_id", "text")
