@@ -22,15 +22,8 @@ object IncrementalQueries extends Catalog {
     // session_end = last event + gap. In streaming the same plan
     // gets watermark-driven state eviction for free.
     Q("q90_session_window",
-      (s, dir) => Tables.load(s, dir, "events")
-        .groupBy(col("user_id"),
-          session_window(col("ts"), "30 minutes").as("sw"))
-        .agg(count(lit(1)).as("n_events"),
-             Catalog.dsumCol(col("value")).as("sum_value"))
-        .select(col("user_id"),
-          col("sw.start").as("session_start"),
-          col("sw.end").as("session_end"),
-          col("n_events"), col("sum_value"))
+      (s, dir) => graft.streaming.EventStreams
+        .sessionWindowStats(Tables.load(s, dir, "events"))
         .orderBy(col("user_id"), col("session_start")),
       Some(s"""WITH m AS (
               |  SELECT user_id, event_id, ts, value,

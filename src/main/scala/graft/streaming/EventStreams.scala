@@ -31,6 +31,30 @@ object EventStreams {
     * data. In batch mode the watermark is a no-op and this is exactly
     * EventQueries.q60 with window() instead of date_trunc.
     */
+  /** Built-in session-window aggregation (vs the explicit-state
+    * `sessionize`): events merge while each starts within `gap` of
+    * the session's rolling end; the emitted window is
+    * [first event, last event + gap). Batch and streaming share this
+    * exact plan — in streaming (append mode) a session finalizes and
+    * emits once the watermark passes its end, and Spark keeps
+    * O(open sessions) state, evicted by event time. This is q90's
+    * batch form.
+    */
+  def sessionWindowStats(events: DataFrame, gap: String = "30 minutes",
+                         watermark: String = "30 minutes"): DataFrame = {
+    val withTs = events.withColumn("ts", col("ts").cast("timestamp"))
+    val src = if (events.isStreaming) withTs.withWatermark("ts", watermark)
+              else withTs
+    src.groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value")
+             .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+             .cast("double").as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+              col("sw.end").as("session_end"),
+              col("n_events"), col("sum_value"))
+  }
+
   def tumblingStats(events: DataFrame, windowLen: String = "1 hour",
                     watermark: String = "10 minutes"): DataFrame =
     events

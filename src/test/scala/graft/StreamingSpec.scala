@@ -148,4 +148,34 @@ class StreamingSpec extends SparkSpec {
       assert(first.sum_value == 3.0)
     } finally q.stop()
   }
+
+  test("built-in session_window finalizes sessions in streaming append mode") {
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.sessionWindowStats(input.toDF(),
+        gap = "30 minutes", watermark = "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sw_out").start()
+    try {
+      // two events 10 min apart: one session [10:00, 10:40)
+      input.addData(Event(1, ts(0), 1, "click", 1.5),
+                    Event(2, ts(10), 1, "view", 2.5))
+      q.processAllAvailable()
+      // nothing can finalize until the watermark passes the session end
+      assert(spark.table("sw_out").isEmpty)
+      // an event 3 h later pushes the watermark past 10:40 -> emit
+      input.addData(Event(3, Timestamp.valueOf("2024-01-01 13:00:00"),
+        1, "click", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("sw_out").collect()
+      assert(rows.length == 1)
+      val r = rows(0)
+      assert(r.getAs[Long]("user_id") == 1L
+        && r.getAs[Timestamp]("session_start") == ts(0)
+        && r.getAs[Timestamp]("session_end") ==
+           Timestamp.valueOf("2024-01-01 10:40:00")
+        && r.getAs[Long]("n_events") == 2L
+        && r.getAs[Double]("sum_value") == 4.0)
+      // the 13:00 session stays open (no later watermark) -> not emitted
+    } finally q.stop()
+  }
 }
