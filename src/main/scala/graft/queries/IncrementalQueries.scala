@@ -223,6 +223,63 @@ object IncrementalQueries extends Catalog {
              |    ORDER BY dist, match_id) AS rn
              |  FROM cand)
              |SELECT d_id, d_name, match_id, match_name, dist
-             |FROM ranked WHERE rn = 1 ORDER BY d_id""".stripMargin))
+             |FROM ranked WHERE rn = 1 ORDER BY d_id""".stripMargin)),
+
+    // Value-RANGE window frames (vs the ROWS frames of q08/q58): per
+    // order, the customer's trailing-30-day order count and spend.
+    // RANGE frames bound by the ORDER BY VALUE, so equal-day ties all
+    // join the frame — deterministic without a tiebreak column.
+    Q("q95_range_frame",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("days")).rangeBetween(-30, 0)
+        Tables.load(s, dir, "orders")
+          .withColumn("days",
+            datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+              .cast("long"))
+          .select(col("o_orderkey"), col("o_custkey"), col("days"),
+            count(lit(1)).over(w).as("n_30d"),
+            sum(Catalog.m(col("o_totalprice"))).over(w)
+              .cast("double").as("spend_30d"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  date_diff('day', DATE '1970-01-01',
+             |    CAST(o_orderdate AS DATE)) AS days,
+             |  COUNT(*) OVER w AS n_30d,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+             |    AS DOUBLE) AS spend_30d
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey
+             |  ORDER BY date_diff('day', DATE '1970-01-01',
+             |    CAST(o_orderdate AS DATE))
+             |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Recursive CTE (Spark 4's WITH RECURSIVE): walk the synthetic
+    // part ancestry parent(k) = floor(k/2) from the root down,
+    // computing each level's population — the BOM/org-chart iteration
+    // shape. The identical ANSI text runs on both engines (q80
+    // pattern); each recursion step is one join against the previous
+    // level, so a cluster runs it as bounded iterative joins.
+    Q("q96_recursive_cte",
+      (s, dir) => {
+        Tables.load(s, dir, "part").createOrReplaceTempView("part")
+        s.sql(Q96Sql)
+      },
+      Some(Q96Sql))
   )
+
+  private lazy val Q96Sql: String =
+    """WITH RECURSIVE tree(key, depth) AS (
+      |  SELECT CAST(0 AS BIGINT) AS key, 0 AS depth
+      |  UNION ALL
+      |  SELECT p.p_partkey, t.depth + 1
+      |  FROM part p JOIN tree t
+      |    ON CAST(FLOOR(p.p_partkey / 2.0) AS BIGINT) = t.key
+      |  WHERE p.p_partkey > 0)
+      |SELECT depth, COUNT(*) AS n,
+      |  MIN(key) AS min_key, MAX(key) AS max_key
+      |FROM tree GROUP BY depth ORDER BY depth""".stripMargin
 }
