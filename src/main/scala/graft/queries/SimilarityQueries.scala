@@ -280,6 +280,31 @@ object SimilarityQueries extends Catalog {
              |  ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
              |    CAST(embedding AS DOUBLE[]))), 9) AS l2_norm,
              |  CAST(len(embedding) AS INTEGER) AS dims
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // Higher-order-function breadth over the embedding arrays:
+    // filter / exists / aggregate lambdas (DuckDB mirrors them with
+    // list_* lambdas). All map-side; sums accumulate on the exact
+    // 6-decimal grid (the synthetic embeddings are 6-dp values) so
+    // the fold is order-independent cross-engine.
+    Q("q97_hof_vectors",
+      (s, dir) => Tables.load(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+          exists(col("embedding"), x => x > lit(0.15)).as("has_large"),
+          round(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("decimal(12,6)")), 6)
+            .as("sum_vals"))
+        .orderBy(col("vec_id")),
+      Some("""SELECT vec_id,
+             |  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER)
+             |    AS n_pos,
+             |  len(list_filter(embedding, x -> x > 0.15)) > 0
+             |    AS has_large,
+             |  ROUND(list_aggregate(list_transform(
+             |    CAST(embedding AS DOUBLE[]),
+             |    x -> CAST(x AS DECIMAL(12,6))), 'sum'), 6) AS sum_vals
              |FROM embeddings ORDER BY vec_id""".stripMargin))
   )
 }

@@ -98,4 +98,70 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  private val eventLogGen: Gen[List[(Long, String, Long, Long)]] =
+    Gen.listOfN(40, for {
+      user <- Gen.choose(1L, 4L)
+      st <- Gen.oneOf("A", "B", "C")
+      ts <- Gen.choose(0L, 50L)
+      id <- Gen.choose(0L, 1000000L)
+    } yield (user, st, ts, id)).map(_.distinctBy(_._4))
+
+  test("Scd2: segments tile each key, n_events sum matches, no " +
+       "adjacent segments share a state") {
+    forAllSamples(eventLogGen, n = 10) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF("user_id", "st", "ts", "event_id")
+        val out = operators.Scd2
+          .collapse(df, "user_id", "st", "ts", "event_id")
+          .orderBy("user_id", "seg").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]),
+            r.getLong(5)))
+        // per key: counts add up to the log size
+        val perKey = out.groupBy(_._1)
+        for ((user, segs) <- perKey) {
+          val ordered = segs.sortBy(_._2)
+          assert(ordered.map(_._6).sum ==
+            rows.count(_._1 == user))
+          // valid_to == next valid_from, open-ended only on the last
+          ordered.sliding(2).foreach {
+            case Array(a, b) =>
+              assert(a._5.contains(b._4))
+              assert(a._3 != b._3) // adjacent segments differ in state
+            case _ =>
+          }
+          assert(ordered.last._5.isEmpty)
+        }
+      }
+    }
+  }
+
+  test("Decontaminate: n_hits <= n_grams; zero-overlap eval set flags nothing") {
+    val textGen = Gen.listOfN(6, Gen.oneOf("aa", "bb", "cc", "dd"))
+      .map(_.mkString(" "))
+    forAllSamples(Gen.listOfN(8, textGen), n = 8) { texts =>
+      val corpus = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val disjointEval = Seq((99L, "xx yy zz xx yy")).toDF("doc_id", "text")
+      val out = operators.Decontaminate
+        .overlap(corpus, disjointEval, "doc_id", "text", 3).collect()
+      assert(out.length == texts.size)
+      out.foreach { r =>
+        assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_grams"))
+        assert(r.getAs[Long]("n_hits") == 0L) // disjoint vocab
+        assert(!r.getAs[Boolean]("contaminated"))
+      }
+      // self-contamination: using the corpus as the eval set flags
+      // every doc with at least one trigram
+      val self = operators.Decontaminate
+        .overlap(corpus, corpus, "doc_id", "text", 3).collect()
+      self.foreach { r =>
+        assert((r.getAs[Long]("n_grams") > 0L) ==
+          r.getAs[Boolean]("contaminated"))
+        if (r.getAs[Long]("n_grams") > 0L)
+          assert(r.getAs[Long]("n_hits") == r.getAs[Long]("n_grams"))
+      }
+    }
+  }
 }
