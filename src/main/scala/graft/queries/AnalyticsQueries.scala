@@ -330,7 +330,20 @@ object AnalyticsQueries extends Catalog {
         Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
         s.sql(Q87Sql)
       },
-      Some(Q87Sql))
+      Some(Q87Sql)),
+
+    // MapType construction + access (see q98 helper below)
+    Q("q98_map_agg", q98 _,
+      Some("""WITH c AS (
+             |  SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+             |  FROM lineitem GROUP BY 1, 2)
+             |SELECT l_returnflag,
+             |  CAST(COUNT(*) AS INTEGER) AS n_keys,
+             |  array_to_string(list_sort(
+             |    list(l_linestatus || '=' || CAST(n AS VARCHAR))), ',')
+             |    AS entries
+             |FROM c GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
   )
 
   private lazy val Q87Sql: String =
@@ -344,4 +357,27 @@ object AnalyticsQueries extends Catalog {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
       |         o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** MapType surface: per returnflag, a linestatus→count map built
+    * with map_from_entries, read back through map_keys/element_at,
+    * and serialized to a sorted "k=v" string (q82's rule: the
+    * driver's row compare needs scalar cells; the map itself is
+    * exercised on the Spark side, the oracle mirrors the serialized
+    * form). Registered below in `queries`.
+    */
+  private[queries] def q98(s: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame = {
+    val counts = graft.Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("l_returnflag"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("l_linestatus"), col("n"))))).as("m"))
+      .select(col("l_returnflag"),
+        size(col("m")).as("n_keys"),
+        concat_ws(",", transform(map_keys(col("m")),
+          k => concat(k, lit("="),
+            element_at(col("m"), k).cast("string")))).as("entries"))
+      .orderBy(col("l_returnflag"))
+  }
 }
