@@ -41,6 +41,26 @@ object Sampling {
     df.filter(hashPrefix(id) < th)
   }
 
+  /** Deterministic WEIGHTED Bernoulli sample: row kept with
+    * probability `weight / weightScale` (clamped to 1), decided by
+    * comparing a 4-hex-digit md5 prefix of the id against the
+    * per-row threshold `weight * 65536 / weightScale` rendered as
+    * 4 lowercase hex digits. Same rows on any engine or cluster
+    * size, zero shuffle — the quality-score-proportional curation
+    * sampler (heavier rows survive proportionally more often).
+    */
+  def weightedHashSample(df: DataFrame, id: Column, weight: Column,
+                         weightScale: Int): DataFrame = {
+    require(weightScale > 0, s"weightScale must be > 0, got $weightScale")
+    // clamp at 0xffff (not 0x10000: 5 hex digits would break the
+    // fixed-width string compare) — a full-probability row keeps
+    // 65535/65536 of the time, the documented bias of the encoding
+    val thr = least((weight * 65536 / weightScale).cast("long"),
+      lit(65535L))
+    df.filter(substring(md5(id.cast("string")), 1, 4)
+      < lpad(lower(hex(thr)), 4, "0"))
+  }
+
   private def hashPrefix(id: Column): Column =
     substring(md5(id.cast("string")), 1, 2)
 }

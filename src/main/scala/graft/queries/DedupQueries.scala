@@ -182,6 +182,31 @@ object DedupQueries extends Catalog {
              |  < (CASE WHEN lang = 'en' THEN '0d' ELSE '34' END)
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Deterministic WEIGHTED Bernoulli sample: keep probability
+    // proportional to l_quantity (the quality-score-proportional
+    // curation sampler) — avg kept quantity lands well above the
+    // corpus average, which the gated result shows. Map-side only.
+    Q("q100_weighted_sample",
+      (s, dir) => Sampling.weightedHashSample(
+          Tables.load(s, dir, "lineitem"),
+          concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+          col("l_quantity"), weightScale = 500)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_kept"),
+             round(Catalog.davgCol(col("l_quantity")), 6)
+               .as("avg_kept_qty"))
+        .orderBy(col("l_returnflag")),
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n_kept,
+              |  ROUND(${Catalog.davg("l_quantity")}, 6) AS avg_kept_qty
+              |FROM lineitem
+              |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+              |    || CAST(l_linenumber AS VARCHAR)), 1, 4)
+              |  < lpad(lower(hex(LEAST(
+              |      CAST(FLOOR(l_quantity * 65536 / 500) AS BIGINT),
+              |      65535))), 4, '0')
+              |GROUP BY l_returnflag
+              |ORDER BY l_returnflag""".stripMargin)),
+
     Q("q44_simhash",
       (s, dir) => Dedup.simhashFingerprints(
           Tables.load(s, dir, "documents"), col("doc_id"), col("text"))

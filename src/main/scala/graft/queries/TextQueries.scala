@@ -354,6 +354,58 @@ object TextQueries extends Catalog {
              |SELECT bucket, n_docs, min_chars, max_chars,
              |  ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6)
              |    AS share
-             |FROM b ORDER BY bucket""".stripMargin))
+             |FROM b ORDER BY bucket""".stripMargin)),
+
+    // Token co-occurrence lift (log-free PMI): how much more often
+    // two tokens share a document than independence predicts,
+    // lift = n_docs * df(a,b) / (df(a) * df(b)). Pairs come from a
+    // per-doc self-join on distinct tokens (t1 < t2) — codegen'd and
+    // blocked by doc_id, NOT an interpreted in-array pair lambda (the
+    // q83 lesson) and never a corpus-wide cross join. Support floor
+    // df(a,b) >= 20 keeps degenerate rare-pair lifts out.
+    Q("q99_cooccurrence",
+      (s, dir) => {
+        val t = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(tokens(lower(col("text")))))
+              .as("t"))
+        val df_ = t.groupBy(col("t")).agg(count(lit(1)).as("df"))
+        val nDocs = Tables.load(s, dir, "documents")
+          .agg(count(lit(1)).as("n_docs"))
+        val pairs = t.select(col("doc_id"), col("t").as("t1"))
+          .join(t.select(col("doc_id"), col("t").as("t2")), Seq("doc_id"))
+          .filter(col("t1") < col("t2"))
+          .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 20)
+        pairs
+          .join(broadcast(df_.select(col("t").as("t1"),
+            col("df").as("df1"))), Seq("t1"))
+          .join(broadcast(df_.select(col("t").as("t2"),
+            col("df").as("df2"))), Seq("t2"))
+          .crossJoin(broadcast(nDocs))
+          .select(col("t1"), col("t2"), col("c_ab"),
+            round(col("n_docs") * col("c_ab")
+              / (col("df1") * col("df2")), 9).as("lift"))
+          .orderBy(col("lift").desc, col("t1"), col("t2"))
+          .limit(20)
+      },
+      Some(s"""WITH t AS (
+              |  SELECT DISTINCT doc_id, unnest($duckToksLower) AS t
+              |  FROM documents),
+              |dfq AS (SELECT t, COUNT(*) AS df FROM t GROUP BY 1),
+              |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+              |p AS (
+              |  SELECT a.t AS t1, b.t AS t2, COUNT(*) AS c_ab
+              |  FROM t a JOIN t b
+              |    ON a.doc_id = b.doc_id AND a.t < b.t
+              |  GROUP BY 1, 2 HAVING COUNT(*) >= 20)
+              |SELECT t1, t2, c_ab,
+              |  ROUND(n.n_docs * c_ab
+              |    / (CAST(d1.df AS DOUBLE) * d2.df), 9) AS lift
+              |FROM p
+              |JOIN dfq d1 ON p.t1 = d1.t
+              |JOIN dfq d2 ON p.t2 = d2.t
+              |CROSS JOIN n
+              |ORDER BY lift DESC, t1, t2 LIMIT 20""".stripMargin))
   )
 }
