@@ -257,6 +257,19 @@ object IncrementalQueries extends Catalog {
              |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Batch gate of the stream-stream interval join (helper below;
+    // streaming semantics spec'd in StreamingSpec)
+    Q("q101_interval_join", q101 _,
+      Some("""WITH c AS (SELECT user_id, ts AS c_ts, event_id AS c_id
+             |  FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id, ts AS p_ts, event_id AS p_id
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT c.user_id, c_id, c_ts, p_id, p_ts
+             |FROM c JOIN p ON c.user_id = p.user_id
+             |  AND p_ts >= c_ts
+             |  AND p_ts <= c_ts + INTERVAL 60 MINUTE
+             |ORDER BY c.user_id, c_id, p_id""".stripMargin)),
+
     // Recursive CTE (Spark 4's WITH RECURSIVE): walk the synthetic
     // part ancestry parent(k) = floor(k/2) from the root down,
     // computing each level's population — the BOM/org-chart iteration
@@ -282,4 +295,23 @@ object IncrementalQueries extends Catalog {
       |SELECT depth, COUNT(*) AS n,
       |  MIN(key) AS min_key, MAX(key) AS max_key
       |FROM tree GROUP BY depth ORDER BY depth""".stripMargin
+
+  /** q101 batch form of the stream-stream interval join (see
+    * EventStreams.intervalJoin): every (click, purchase) pair of the
+    * same user with the purchase inside the click's 60-minute window.
+    */
+  private def q101(s: org.apache.spark.sql.SparkSession,
+                   dir: String): org.apache.spark.sql.DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"),
+              col("event_id").as("c_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+              col("event_id").as("p_id"))
+    graft.streaming.EventStreams
+      .intervalJoin(clicks, purchases, "c_ts", "p_ts", "c_id", "p_id",
+        withinMinutes = 60)
+      .orderBy(col("user_id"), col("c_id"), col("p_id"))
+  }
 }

@@ -55,6 +55,33 @@ object EventStreams {
               col("n_events"), col("sum_value"))
   }
 
+  /** Event-time interval join: each left row pairs with right rows of
+    * the same key whose timestamp falls in [left_ts, left_ts +
+    * within]. In streaming this is the canonical stream-stream join —
+    * BOTH sides carry watermarks and the time-range condition bounds
+    * the join state, so Spark evicts buffered rows once the watermark
+    * passes their window (state is O(rows in flight), not O(stream)).
+    * In batch the same plan is an ordinary range-condition join.
+    *
+    * Inputs must expose `user_id`, a timestamp column named by
+    * `lTs`/`rTs`, and an id column named by `lId`/`rId`.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   lTs: String, rTs: String, lId: String, rId: String,
+                   withinMinutes: Int,
+                   watermark: String = "30 minutes"): DataFrame = {
+    def wm(df: DataFrame, ts: String) = {
+      val t = df.withColumn(ts, col(ts).cast("timestamp"))
+      if (df.isStreaming) t.withWatermark(ts, watermark) else t
+    }
+    val l = wm(left, lTs)
+    val r = wm(right, rTs)
+    l.join(r, l("user_id") === r("user_id")
+        && col(rTs) >= col(lTs)
+        && col(rTs) <= col(lTs) + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(l("user_id"), col(lId), col(lTs), col(rId), col(rTs))
+  }
+
   def tumblingStats(events: DataFrame, windowLen: String = "1 hour",
                     watermark: String = "10 minutes"): DataFrame =
     events

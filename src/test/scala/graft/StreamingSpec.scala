@@ -178,4 +178,30 @@ class StreamingSpec extends SparkSpec {
       // the 13:00 session stays open (no later watermark) -> not emitted
     } finally q.stop()
   }
+
+  test("stream-stream interval join pairs purchases within the click window") {
+    val clicks = MemoryStream[Event](spark)
+    val purchases = MemoryStream[Event](spark)
+    def shape(df: org.apache.spark.sql.DataFrame,
+              ts: String, id: String) =
+      df.selectExpr("user_id", s"ts AS $ts", s"event_id AS $id")
+    val q = EventStreams.intervalJoin(
+        shape(clicks.toDF(), "c_ts", "c_id"),
+        shape(purchases.toDF(), "p_ts", "p_id"),
+        "c_ts", "p_ts", "c_id", "p_id",
+        withinMinutes = 30, watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ij_out").start()
+    try {
+      clicks.addData(Event(1, ts(0), 1, "click", 0))
+      purchases.addData(
+        Event(10, ts(20), 1, "purchase", 0),  // inside [10:00, 10:30]
+        Event(11, ts(45), 1, "purchase", 0),  // outside the window
+        Event(12, ts(20), 2, "purchase", 0))  // wrong user
+      q.processAllAvailable()
+      val got = spark.table("ij_out")
+        .select($"c_id", $"p_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L)))
+    } finally q.stop()
+  }
 }
