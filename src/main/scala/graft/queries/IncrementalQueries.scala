@@ -270,6 +270,46 @@ object IncrementalQueries extends Catalog {
              |  AND p_ts <= c_ts + INTERVAL 60 MINUTE
              |ORDER BY c.user_id, c_id, p_id""".stripMargin)),
 
+    // Bag-semantics set ops (vs q14/q15's distinct forms):
+    // INTERSECT ALL keeps min(multiplicity), EXCEPT ALL subtracts
+    // multiplicities — Spark plans both as multiplicity-counting
+    // aggregations + a generator, one shuffle each, no distinct pass.
+    // Aggregated per key so the gate pins multiplicities exactly.
+    Q("q102_bag_setops",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val open = o.filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey"))
+        val done = o.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey"))
+        val inter = open.intersectAll(done)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_inter"))
+        val exc = open.exceptAll(done)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_except"))
+        inter.join(exc, Seq("o_custkey"), "full_outer")
+          .select(col("o_custkey"),
+            coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+            coalesce(col("n_except"), lit(0L)).as("n_except"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""WITH i AS (
+             |  SELECT o_custkey, COUNT(*) AS n_inter FROM (
+             |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |    INTERSECT ALL
+             |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+             |  GROUP BY o_custkey),
+             |e AS (
+             |  SELECT o_custkey, COUNT(*) AS n_except FROM (
+             |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |    EXCEPT ALL
+             |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+             |  GROUP BY o_custkey)
+             |SELECT COALESCE(i.o_custkey, e.o_custkey) AS o_custkey,
+             |  COALESCE(n_inter, 0) AS n_inter,
+             |  COALESCE(n_except, 0) AS n_except
+             |FROM i FULL OUTER JOIN e ON i.o_custkey = e.o_custkey
+             |ORDER BY o_custkey""".stripMargin)),
+
     // Recursive CTE (Spark 4's WITH RECURSIVE): walk the synthetic
     // part ancestry parent(k) = floor(k/2) from the root down,
     // computing each level's population — the BOM/org-chart iteration
