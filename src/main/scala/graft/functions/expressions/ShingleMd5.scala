@@ -22,7 +22,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * generator a plain materialized array.
   *
   * Null token array → null; fewer than `shingleLen` tokens → empty
-  * array (matching shinglesOf's `otherwise(array())` branch).
+  * array (matching shinglesOf's `otherwise(array())` branch). Null
+  * ELEMENTS are skipped without a separator — exactly concat_ws's
+  * null rule — so `["a", null, "b"]` grams to `"a b"`, not `"a  b"`
+  * (tokens() never emits nulls, but the SQL-registered shingle_md5
+  * accepts arbitrary arrays).
   */
 case class ShingleMd5(child: Expression, shingleLen: Int)
     extends UnaryExpression with CodegenFallback {
@@ -36,10 +40,10 @@ case class ShingleMd5(child: Expression, shingleLen: Int)
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n < shingleLen) return new GenericArrayData(Array.empty[Any])
-    val toks = new Array[Array[Byte]](n)
+    val toks = new Array[Array[Byte]](n) // null slot = null element
     var i = 0
     while (i < n) {
-      toks(i) = if (arr.isNullAt(i)) Array.emptyByteArray
+      toks(i) = if (arr.isNullAt(i)) null
                 else arr.getUTF8String(i).getBytes
       i += 1
     }
@@ -49,9 +53,14 @@ case class ShingleMd5(child: Expression, shingleLen: Int)
     while (i <= n - shingleLen) {
       buf.reset()
       var w = 0
+      var wrote = false // concat_ws: null elements skipped, no separator
       while (w < shingleLen) {
-        if (w > 0) buf.write(' ')
-        buf.write(toks(i + w), 0, toks(i + w).length)
+        val t = toks(i + w)
+        if (t != null) {
+          if (wrote) buf.write(' ')
+          buf.write(t, 0, t.length)
+          wrote = true
+        }
         w += 1
       }
       grams.add(UTF8String.fromBytes(buf.toByteArray))
@@ -90,7 +99,8 @@ object ShingleMd5 {
   * `md5 ∘ explode ∘ transform(sequence(0, floor((n-1)/W)), i =>
   * concat_ws(" ", slice(toks, i*W+1, W)))` form, minus the
   * interpreted higher-order lambda on the explode path (same
-  * pathology ShingleMd5 documents).
+  * pathology ShingleMd5 documents). Null elements are skipped without
+  * a separator, matching concat_ws (see ShingleMd5).
   */
 case class ChunkMd5(child: Expression, chunkLen: Int)
     extends UnaryExpression with CodegenFallback {
@@ -113,11 +123,14 @@ case class ChunkMd5(child: Expression, chunkLen: Int)
       buf.reset()
       val end = math.min(i + chunkLen, n)
       var w = i
+      var wrote = false // concat_ws: null elements skipped, no separator
       while (w < end) {
-        if (w > i) buf.write(' ')
-        val t = if (arr.isNullAt(w)) Array.emptyByteArray
-                else arr.getUTF8String(w).getBytes
-        buf.write(t, 0, t.length)
+        if (!arr.isNullAt(w)) {
+          val t = arr.getUTF8String(w).getBytes
+          if (wrote) buf.write(' ')
+          buf.write(t, 0, t.length)
+          wrote = true
+        }
         w += 1
       }
       md.reset()

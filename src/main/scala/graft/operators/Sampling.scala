@@ -52,11 +52,14 @@ object Sampling {
   def weightedHashSample(df: DataFrame, id: Column, weight: Column,
                          weightScale: Int): DataFrame = {
     require(weightScale > 0, s"weightScale must be > 0, got $weightScale")
-    // clamp at 0xffff (not 0x10000: 5 hex digits would break the
-    // fixed-width string compare) — a full-probability row keeps
-    // 65535/65536 of the time, the documented bias of the encoding
-    val thr = least((weight * 65536 / weightScale).cast("long"),
-      lit(65535L))
+    // clamp to [0, 0xffff]: above, 5 hex digits would break the
+    // fixed-width string compare (a full-probability row keeps
+    // 65535/65536 of the time, the documented bias of the encoding);
+    // below, hex() of a negative long renders 16 two's-complement
+    // digits whose 4-char prefix is "ffff" — a negative weight would
+    // keep the row ~always instead of never
+    val thr = least(greatest((weight * 65536 / weightScale).cast("long"),
+      lit(0L)), lit(65535L))
     df.filter(substring(md5(id.cast("string")), 1, 4)
       < lpad(lower(hex(thr)), 4, "0"))
   }

@@ -21,25 +21,37 @@ import graft.functions.TextFunctions
   *
   * Scale shape: one explode + groupBy(term) builds the vocab (token
   * skew is absorbed by map-side partial counts); the per-doc pass
-  * joins tokens to the vocab — broadcast here (a unigram vocab is
-  * millions of rows, comfortably broadcastable even at 100 TB corpus
-  * size; if a tokenizer ever makes it bigger, dropping the hint falls
-  * back to a shuffle hash join) — then aggregates on the doc key.
+  * joins tokens to the vocab — broadcast ONLY when the measured vocab
+  * row count is under `broadcastMaxVocab` (a web-junk tokenizer at
+  * 100 TB can emit 1e9+ distinct tokens, which would OOM the driver
+  * and every executor); above the cap the hint is omitted and the
+  * join shuffles on `term` (or AQE re-plans it). The vocab size comes
+  * free: the corpus totals are a single-row aggregate we collect
+  * anyway to fold `total`/`n_vocab` in as literals instead of the
+  * previous crossJoin.
   */
 object UnigramLm {
 
   def score(docs: DataFrame, id: String, text: String,
-            rareFactor: Int = 4): DataFrame = {
+            rareFactor: Int = 4,
+            broadcastMaxVocab: Long = 50L * 1000 * 1000): DataFrame = {
     val toks = docs.select(col(id),
       explode(TextFunctions.tokens(lower(col(text)))).as("term"))
     val v = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-    val stats = v.agg(sum(col("cnt")).as("total"),
-                      count(lit(1)).as("n_vocab"))
-    val v2 = v.crossJoin(broadcast(stats))
+    // one driver action on a 1-row aggregate: the scalar corpus stats
+    // (the standard Spark pattern for query-shaping parameters)
+    val statsRow = v.agg(sum(col("cnt")).as("total"),
+                         count(lit(1)).as("n_vocab")).collect()(0)
+    val total = // sum() is null on an empty corpus
+      if (statsRow.isNullAt(0)) 0L else statsRow.getAs[Long]("total")
+    val nVocab = statsRow.getAs[Long]("n_vocab")
+    val v2 = v
       .withColumn("rare",
-        col("cnt") * col("n_vocab") * lit(rareFactor) < col("total"))
-      .select(col("term"), col("cnt"), col("rare"), col("total"))
-    toks.join(broadcast(v2), Seq("term"))
+        col("cnt") * lit(nVocab) * lit(rareFactor) < lit(total))
+      .select(col("term"), col("cnt"), col("rare"),
+              lit(total).as("total"))
+    val vocabSide = if (nVocab <= broadcastMaxVocab) broadcast(v2) else v2
+    toks.join(vocabSide, Seq("term"))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_tokens"),
            sum(col("cnt")).as("sum_cnt"),

@@ -27,38 +27,71 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.graftbridge
+  import org.apache.spark.sql.types.IntegerType
 
-  private def intLit(e: Expression): Int =
-    e.eval(null).asInstanceOf[Number].intValue()
+  /** Resolve argument `idx` of `fn` as a literal Int, failing analysis
+    * (with the function's name, via Spark's own error classes) on a
+    * non-foldable / non-integral / null argument instead of leaking a
+    * raw NPE or ClassCastException from `eval(null)`.
+    */
+  private def intLit(fn: String, param: String,
+                     es: Seq[Expression], idx: Int): Int = {
+    val e = es(idx)
+    if (!e.foldable)
+      throw graftbridge.nonFoldableArgumentError(fn, param, IntegerType)
+    e.eval(null) match {
+      case n: Number => n.intValue()
+      case _ =>
+        throw graftbridge.nonFoldableArgumentError(fn, param, IntegerType)
+    }
+  }
+
+  /** Wrap a builder with an exact-arity gate so `fn(wrong, number,
+    * of, args)` fails analysis naming `fn`, not with an
+    * IndexOutOfBounds from `es(i)`.
+    */
+  private def arity(fn: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      if (es.length != n)
+        throw graftbridge.wrongNumArgsError(fn, n, es.length)
+      build(es)
+    }
 
   /** (name, info, builder) for each custom expression. */
   val functions: Seq[(String, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     ("multi_min_hash",
       new ExpressionInfo(classOf[MultiMinHash].getName, "multi_min_hash"),
-      (es: Seq[Expression]) =>
-        MultiMinHash(es.head, intLit(es(1)), intLit(es(2)))),
+      arity("multi_min_hash", 3)(es => MultiMinHash(es.head,
+        intLit("multi_min_hash", "numHashes", es, 1),
+        intLit("multi_min_hash", "seed", es, 2)))),
     ("sorted_intersect_count",
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "sorted_intersect_count"),
-      (es: Seq[Expression]) => SortedIntersectCount(es.head, es(1))),
+      arity("sorted_intersect_count", 2)(es =>
+        SortedIntersectCount(es.head, es(1)))),
     ("sorted_intersect_count_long",
       new ExpressionInfo(classOf[SortedIntersectCountLong].getName,
         "sorted_intersect_count_long"),
-      (es: Seq[Expression]) => SortedIntersectCountLong(es.head, es(1))),
+      arity("sorted_intersect_count_long", 2)(es =>
+        SortedIntersectCountLong(es.head, es(1)))),
     ("token_fingerprint",
       new ExpressionInfo(classOf[TokenFingerprint].getName,
         "token_fingerprint"),
-      (es: Seq[Expression]) => TokenFingerprint(es.head)),
+      arity("token_fingerprint", 1)(es => TokenFingerprint(es.head))),
     ("dot_product",
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (es: Seq[Expression]) => DotProduct(es.head, es(1))),
+      arity("dot_product", 2)(es => DotProduct(es.head, es(1)))),
     ("shingle_md5",
       new ExpressionInfo(classOf[ShingleMd5].getName, "shingle_md5"),
-      (es: Seq[Expression]) => ShingleMd5(es.head, intLit(es(1)))),
+      arity("shingle_md5", 2)(es => ShingleMd5(es.head,
+        intLit("shingle_md5", "shingleLen", es, 1)))),
     ("chunk_md5",
       new ExpressionInfo(classOf[ChunkMd5].getName, "chunk_md5"),
-      (es: Seq[Expression]) => ChunkMd5(es.head, intLit(es(1)))))
+      arity("chunk_md5", 2)(es => ChunkMd5(es.head,
+        intLit("chunk_md5", "chunkLen", es, 1)))))
 
   /** Register into an existing session's temp-function registry. */
   def register(spark: SparkSession): Unit =

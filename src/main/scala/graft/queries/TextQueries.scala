@@ -384,8 +384,11 @@ object TextQueries extends Catalog {
             col("df").as("df2"))), Seq("t2"))
           .crossJoin(broadcast(nDocs))
           .select(col("t1"), col("t2"), col("c_ab"),
-            round(col("n_docs") * col("c_ab")
-              / (col("df1") * col("df2")), 9).as("lift"))
+            // double BEFORE the multiplies (mirroring the oracle's
+            // CAST(df AS DOUBLE)): at 100 TB scale n_docs*c_ab and
+            // df1*df2 overflow Long silently
+            round(col("n_docs").cast("double") * col("c_ab")
+              / (col("df1").cast("double") * col("df2")), 9).as("lift"))
           .orderBy(col("lift").desc, col("t1"), col("t2"))
           .limit(20)
       },

@@ -74,12 +74,18 @@ object EventStreams {
       val t = df.withColumn(ts, col(ts).cast("timestamp"))
       if (df.isStreaming) t.withWatermark(ts, watermark) else t
     }
-    val l = wm(left, lTs)
-    val r = wm(right, rTs)
-    l.join(r, l("user_id") === r("user_id")
+    // Plan-level aliases, not df("col") refs: when both inputs derive
+    // from the SAME parent frame (q101 splits one `events` scan),
+    // l("user_id") === r("user_id") collapses to a trivially-true
+    // self-compare under Spark's attribute dedup. Qualified names
+    // against explicit SubqueryAlias nodes resolve unambiguously even
+    // with spark.sql.analyzer.failAmbiguousSelfJoin on.
+    val l = wm(left, lTs).alias("gl")
+    val r = wm(right, rTs).alias("gr")
+    l.join(r, col("gl.user_id") === col("gr.user_id")
         && col(rTs) >= col(lTs)
         && col(rTs) <= col(lTs) + expr(s"INTERVAL $withinMinutes MINUTES"))
-      .select(l("user_id"), col(lId), col(lTs), col(rId), col(rTs))
+      .select(col("gl.user_id"), col(lId), col(lTs), col(rId), col(rTs))
   }
 
   def tumblingStats(events: DataFrame, windowLen: String = "1 hour",

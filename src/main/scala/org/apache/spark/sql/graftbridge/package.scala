@@ -15,4 +15,17 @@ package object graftbridge {
 
   def toExpression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Spark's own analysis errors for SQL function builders (the
+    * factories are private[sql], hence bridged here): a wrong-arity
+    * call or a non-literal parameter to a registered graft function
+    * should fail analysis with the function's name, not leak an NPE
+    * from the builder.
+    */
+  def wrongNumArgsError(fn: String, expected: Int, actual: Int): Throwable =
+    errors.QueryCompilationErrors.wrongNumArgsError(fn, Seq(expected), actual)
+
+  def nonFoldableArgumentError(fn: String, param: String,
+                               tpe: types.DataType): Throwable =
+    errors.QueryCompilationErrors.nonFoldableArgumentError(fn, param, tpe)
 }

@@ -132,6 +132,36 @@ class CustomExpressionsSpec extends SparkSpec {
     assert(r(0).getSeq[String](0).isEmpty && r(1).isNullAt(0))
   }
 
+  test("ShingleMd5/ChunkMd5 skip null elements like concat_ws") {
+    // tokens() never emits nulls, but the SQL-registered functions
+    // accept arbitrary arrays — null elements must follow concat_ws's
+    // rule (skipped, no separator), so ["a", null, "b"] grams "a b".
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, array('a', CAST(NULL AS STRING), 'b', 'c')),
+        |  (2L, array(CAST(NULL AS STRING), NULL, 'x')),
+        |  (3L, array('', NULL, 'y', ''))
+        |AS t(id, toks)""".stripMargin)
+    val composedShingle = df.select($"id",
+      transform(array_distinct(TextFunctions.shinglesOf($"toks", 2)),
+        g => md5(g)).as("hs")).orderBy($"id").collect().toSeq
+    val customShingle = df.select($"id",
+      graft.functions.expressions.ShingleMd5.shingleMd5($"toks", 2).as("hs"))
+      .orderBy($"id").collect().toSeq
+    assert(customShingle == composedShingle)
+
+    val W = 2
+    val composedChunk = df.select($"id",
+      transform(sequence(lit(0),
+          floor((size($"toks") - 1) / lit(W)).cast("int")),
+        i => md5(concat_ws(" ", slice($"toks", i * W + 1, lit(W)))))
+        .as("hs")).orderBy($"id").collect().toSeq
+    val customChunk = df.select($"id",
+      graft.functions.expressions.ChunkMd5.chunkMd5($"toks", W).as("hs"))
+      .orderBy($"id").collect().toSeq
+    assert(customChunk == composedChunk)
+  }
+
   test("ChunkMd5 == md5 over stride-window transform composition") {
     val W = 20
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")

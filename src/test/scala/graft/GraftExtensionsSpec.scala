@@ -33,6 +33,28 @@ class GraftExtensionsSpec extends SparkSpec {
       row.getAs[String]("expected_ch1"))
   }
 
+  test("wrong arity / non-literal args fail analysis naming the function") {
+    GraftExtensions.register(spark)
+    // wrong number of arguments: AnalysisException, not IndexOutOfBounds
+    val arity = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT shingle_md5(array('a','b'))").collect()
+    }
+    assert(arity.getMessage.contains("shingle_md5"))
+    // non-foldable shingle length: AnalysisException, not NPE from eval(null)
+    val fold = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT shingle_md5(array(c), length(c)) FROM VALUES ('ab') t(c)")
+        .collect()
+    }
+    assert(fold.getMessage.contains("shingle_md5"))
+    // NULL literal for an int parameter: analysis error, not NPE
+    val nul = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT multi_min_hash(array('a'), CAST(NULL AS INT), 3)")
+        .collect()
+    }
+    assert(nul.getMessage.contains("multi_min_hash"))
+  }
+
   test("extensions class injects the same functions at session build") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders wired

@@ -49,6 +49,24 @@ class OperatorsSpec extends SparkSpec {
     assert(gotPt == s26a.filterNot(_ % 3 == 0))
   }
 
+  test("weighted sampling clamps degenerate weights to never/always") {
+    // weight <= 0 must keep NOTHING: unclamped, hex() of the negative
+    // threshold renders 16 two's-complement digits whose 4-char prefix
+    // is "ffff" (keep ~always). weight >= scale keeps (almost) all.
+    val df = (0L until 500L).toDF("id")
+    val neg = Sampling.weightedHashSample(
+      df.withColumn("w", lit(-3)), $"id", $"w", weightScale = 10)
+    assert(neg.count() == 0)
+    val zero = Sampling.weightedHashSample(
+      df.withColumn("w", lit(0)), $"id", $"w", weightScale = 10)
+    assert(zero.count() == 0)
+    val full = Sampling.weightedHashSample(
+      df.withColumn("w", lit(10)), $"id", $"w", weightScale = 10)
+    // 65535/65536 keep probability: an md5 prefix of "ffff" is the
+    // only loss; with 500 ids expect all (P[any clash] ~ 0.8%)
+    assert(full.count() >= 499)
+  }
+
   test("RangeJoin.firstMatch keeps first range in order on overlap") {
     val items = Seq("A00", "A15", "A20", "Z99").toDF("code")
     val ranges = Seq(

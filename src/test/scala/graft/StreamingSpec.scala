@@ -204,4 +204,36 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set((1L, 10L)))
     } finally q.stop()
   }
+
+  test("interval join resolves when both sides split one parent frame") {
+    // the q101 shape: clicks and purchases are filters of the SAME
+    // scan, so an unaliased l("user_id") === r("user_id") would be a
+    // trivially-true self-compare. Run with the strict analyzer flag
+    // to prove the aliased join resolves each side unambiguously.
+    withSQLConf("spark.sql.analyzer.failAmbiguousSelfJoin" -> "true") {
+      val ev = Seq(
+        Event(1, ts(0), 1, "click", 0),
+        Event(10, ts(20), 1, "purchase", 0),  // inside [10:00, 10:30]
+        Event(11, ts(45), 1, "purchase", 0),  // outside
+        Event(12, ts(20), 2, "purchase", 0)   // wrong user
+      ).toDF()
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("c_ts"), $"event_id".as("c_id"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("p_ts"), $"event_id".as("p_id"))
+      val got = EventStreams.intervalJoin(clicks, purchases,
+          "c_ts", "p_ts", "c_id", "p_id", withinMinutes = 30)
+        .select($"c_id", $"p_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L)))
+    }
+  }
+
+  private def withSQLConf(kv: (String, String)*)(f: => Unit): Unit = {
+    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

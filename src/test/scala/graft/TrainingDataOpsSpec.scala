@@ -104,6 +104,33 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((100L, 3L, 0), (101L, 10L, 2)))
   }
 
+  test("unigram LM: broadcast and shuffle vocab paths agree") {
+    // broadcastMaxVocab=0 forbids the hint (the 1e9+-token web-junk
+    // vocab case); results must be identical to the broadcast plan
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val hinted = UnigramLm.score(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val shuffled = UnigramLm.score(docs, "doc_id", "text",
+        broadcastMaxVocab = 0L)
+      .orderBy("doc_id").collect().toSeq
+    assert(hinted == shuffled && hinted.nonEmpty)
+  }
+
+  test("fuzzy resolve: broadcast, shuffle and AQE verdict paths agree") {
+    val dirty = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .select(col("c_custkey").as("did"),
+        substring(col("c_name"), 1, 1).as("blk"),
+        lower(col("c_name")).as("dname"))
+    val clean = dirty.where("did % 3 = 0")
+      .select(col("did").as("cid"), col("blk"), col("dname").as("cname"))
+    def run(mode: Option[Boolean]) = operators.FuzzyResolve
+      .bestMatch(dirty, clean, "blk", "did", "dname", "cid", "cname", 2,
+        broadcastVerdicts = mode)
+      .orderBy("did", "cid").collect().toSeq
+    val aqe = run(None)
+    assert(aqe.nonEmpty && run(Some(true)) == aqe && run(Some(false)) == aqe)
+  }
+
   test("unigram LM: avg_freq is a probability-like mean in (0, 1]") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val bad = UnigramLm.score(docs, "doc_id", "text")
