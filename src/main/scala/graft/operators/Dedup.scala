@@ -190,8 +190,86 @@ object Dedup {
     }
     require(converged,
       s"connectedComponents did not converge in $maxIters rounds — " +
-        "component diameter exceeds the bound; raise maxIters or use a " +
-        "star-contraction variant")
+        "component diameter exceeds the bound; raise maxIters or use " +
+        "connectedComponentsStar")
+    edges.unpersist()
+    labels
+  }
+
+  /** Star-contraction connected components (alternating large-star /
+    * small-star, Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014): converges in O(log n) rounds REGARDLESS of
+    * component diameter, where [[connectedComponents]]' min-label
+    * propagation needs diameter rounds. A 100 TB near-dup graph will
+    * contain pathological chains (templated spam pages each one edit
+    * from the next), and this is the variant that survives them.
+    *
+    * Both steps are expressed so the heavy relation only ever shuffles
+    * on a vertex key, and the per-vertex min is a groupBy aggregate
+    * (map-side partial combine → tiny shuffle) joined back — NOT a
+    * window, which would force every edge of a mega-hub into one task.
+    * AQE's skew-join split then handles hub vertices at scale.
+    *
+    * Invariant kept throughout: the edge set is canonically oriented
+    * (u > v), deduplicated, self-loop-free — both steps provably emit
+    * only such edges, so each round is exactly
+    * groupBy-min → join → distinct. At the fixpoint the edges form
+    * stars (v, root-of-component); labels read off with one left join
+    * (isolated vertices label themselves).
+    *
+    * Fixpoint equals [[connectedComponents]]' fixpoint (min reachable
+    * id), so the same recursive-CTE oracle gates both.
+    */
+  def connectedComponentsStar(vertices: DataFrame, id: Column,
+                              pairs: DataFrame, src: Column, dst: Column,
+                              maxIters: Int = 20): DataFrame = {
+    // large-star: every vertex hooks its LARGER neighbors to the min of
+    // its neighborhood (m = min(N(u) ∪ {u})); needs both orientations
+    // of each edge, so symmetrize per round (cheap union, no shuffle).
+    def largeStar(canon: DataFrame): DataFrame = {
+      val sym = canon.select(col("u"), col("v"))
+        .union(canon.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u")) // larger neighbors only
+        .select(col("v").as("u"), least(col("u"), col("mn")).as("v"))
+        .distinct() // output is (v, m) with m <= u < v: canonical
+    }
+    // small-star: every vertex hooks its SMALLER neighbors (and itself)
+    // to the min of the smaller neighborhood; operates on the canonical
+    // orientation directly.
+    def smallStar(canon: DataFrame): DataFrame = {
+      val mins = canon.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      canon.join(mins, "u")
+        .filter(col("v") =!= col("mn"))
+        .select(col("v").as("u"), col("mn").as("v")) // (v, m), v > m
+        .union(mins.select(col("u"), col("mn").as("v"))) // (u, m), u > m
+        .distinct()
+    }
+    var edges = pairs
+      .select(greatest(src, dst).as("u"), least(src, dst).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var converged = edges.isEmpty // no edges: everything is isolated
+    var i = 0
+    while (!converged && i < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // both sets are distinct + canonical, so equal counts plus empty
+      // one-sided difference means set equality
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges.unpersist()
+      edges = next
+      i += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIters rounds " +
+        "(bound is O(log n) — raise maxIters)")
+    val roots = edges.groupBy(col("u")).agg(min(col("v")).as("root"))
+    val labels = vertices.select(id.as("v"))
+      .join(roots, col("v") === col("u"), "left")
+      .select(col("v"), coalesce(col("root"), col("v")).as("component"))
     edges.unpersist()
     labels
   }

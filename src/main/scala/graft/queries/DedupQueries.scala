@@ -153,6 +153,37 @@ object DedupQueries extends Catalog {
                       // is pure scheduling noise at bench scale — an
                       // offline index-build-style step, like q54
 
+    // Same dedup decision via star contraction (large-star/small-star):
+    // O(log n) rounds regardless of component diameter, the variant
+    // that survives pathological near-dup chains (templated spam) that
+    // min-label propagation cannot converge on. Same canonical
+    // fixpoint (min reachable doc_id) ⇒ the exact q47 oracle gates it.
+    Q("q103_dedup_components_star",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val pairs = Dedup.minhashCandidates(
+          d, col("doc_id"), col("text"), NumHashes, Bands)
+        Dedup.connectedComponentsStar(
+            d, col("doc_id"), pairs, col("doc_a"), col("doc_b"))
+          .select(col("v").as("doc_id"), col("component"),
+            (col("v") === col("component")).as("survivor"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $duckShingleBody,
+              |$duckLshPairsBody,
+              |edges AS (
+              |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |  UNION
+              |  SELECT doc_b, doc_a FROM pairs),
+              |walk(v, l) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT e.dst, w.l FROM walk w JOIN edges e ON e.src = w.v)
+              |SELECT v AS doc_id, MIN(l) AS component,
+              |  (v = MIN(l)) AS survivor
+              |FROM walk GROUP BY v ORDER BY doc_id""".stripMargin),
+      bench = false), // same offline-decision shape as q47
+
     // Deterministic content-addressed sampling: a row's fate is a pure
     // function of md5(doc_id) — reproducible on any engine or cluster
     // size, and raising the rate only ADDS rows (never swaps them)

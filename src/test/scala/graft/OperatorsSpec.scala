@@ -29,6 +29,40 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponentsStar matches min-label on chains, cliques, singletons") {
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val got = Dedup.connectedComponentsStar(vertices, $"id", pairs, $"a", $"b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("connectedComponentsStar converges on the deep chain that breaks min-label") {
+    // a 60-vertex path: diameter 59. Min-label propagation needs ~59
+    // rounds (trips its maxIters=25 require); star contraction is
+    // O(log n) and labels the whole chain with component 1 well inside
+    // its default bound.
+    val vertices = (1L to 60L).toDF("id")
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(vertices, $"id", pairs, $"a", $"b")
+    }
+    val got = Dedup.connectedComponentsStar(vertices, $"id", pairs, $"a", $"b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == (1L to 60L).map(_ -> 1L).toMap)
+  }
+
+  test("connectedComponentsStar handles the edgeless graph") {
+    val vertices = Seq(5L, 7L).toDF("id")
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    val got = Dedup.connectedComponentsStar(vertices, $"id", pairs, $"a", $"b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 5L, 7L -> 7L))
+  }
+
   test("hash sampling is deterministic, monotone in rate, and stratifiable") {
     val df = (0L until 2000L).toDF("id").withColumn(
       "lang", when($"id" % 3 === 0, "en").otherwise("pt"))
