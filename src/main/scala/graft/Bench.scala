@@ -17,7 +17,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Dev-only subset filter (comma-separated names), mirroring
+    // Verify's SPARK_GRAFT_VERIFY_ONLY; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.benchQueries.sorted
+      .filter(n => only.forall(_.contains(n)))
     val fns = SparkEntry.queries
 
     // warm methodology, symmetric with tools/bench_baseline.py: each

@@ -63,6 +63,32 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map(5L -> 5L, 7L -> 7L))
   }
 
+  test("PointerDoubling.depths labels a deep chain in log rounds") {
+    // path 1→2→…→50 rooted at 0 (parent(k)=k-1): depth 50 resolves
+    // inside maxIters=7 only because each round doubles the jump
+    import graft.operators.PointerDoubling
+    val edges = (1L to 50L).map(k => (k, k - 1)).toDF("k", "p")
+    val got = PointerDoubling.depths(edges, $"k", $"p", rootKey = 0L,
+        maxIters = 7)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 50L).map(k => k -> k).toMap)
+  }
+
+  test("PointerDoubling.depths drops broken chains and rejects cycles") {
+    import graft.operators.PointerDoubling
+    // 5's parent 4 is missing from the relation: 5 and its child 6
+    // are unreachable and must drop out (recursive-CTE parity)
+    val broken = Seq((1L, 0L), (2L, 1L), (5L, 4L), (6L, 5L)).toDF("k", "p")
+    val got = PointerDoubling.depths(broken, $"k", $"p", rootKey = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    // a cycle never converges — loud failure, not a silent mislabel
+    val cyc = Seq((1L, 0L), (2L, 3L), (3L, 2L)).toDF("k", "p")
+    intercept[IllegalArgumentException] {
+      PointerDoubling.depths(cyc, $"k", $"p", rootKey = 0L, maxIters = 5)
+    }
+  }
+
   test("hash sampling is deterministic, monotone in rate, and stratifiable") {
     val df = (0L until 2000L).toDF("id").withColumn(
       "lang", when($"id" % 3 === 0, "en").otherwise("pt"))
