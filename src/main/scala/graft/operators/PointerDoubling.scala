@@ -34,14 +34,29 @@ object PointerDoubling {
     * `knownMaxDepth`: when the caller can bound the depth cheaply
     * (e.g. bit-length of the max key for a halving hierarchy), the
     * loop runs exactly ceil(log2 bound) rounds with NO per-round
-    * convergence job — one job per round instead of two. Unbounded
-    * callers leave it None and pay a cheap count on each round's
-    * checkpointed state. Either way a final emptiness check makes an
-    * unconverged walk (cycle, bound too small) fail loudly.
+    * convergence job — one job per round instead of two. Since
+    * 2^plannedRounds >= bound, every chain within the bound has
+    * provably converged, so no post-loop emptiness job runs either:
+    * an in-plan row-level guard (`assert_true` in the output filter)
+    * throws on the caller's first action if a cycle or a wrong bound
+    * left an unconverged row — loud failure at zero extra jobs.
+    * Unbounded callers leave it None and pay a cheap emptiness probe
+    * on each round's checkpointed state, plus a `require` when
+    * `maxIters` runs out.
+    *
+    * `checkpointInterval`: checkpoint the state every k rounds
+    * instead of every round (the final round never checkpoints — its
+    * output flows straight into the caller's action). Each
+    * unmaterialized round references the previous state ~3x, so the
+    * read amplification of the last checkpointed state is 3^k — keep
+    * the default 1 when the edge set is large; a floor-bound caller
+    * on modest data can pass 2 to halve the job count.
     */
   def depths(edges: DataFrame, key: Column, parent: Column,
              rootKey: Long, maxIters: Int = 20,
-             knownMaxDepth: Option[Long] = None): DataFrame = {
+             knownMaxDepth: Option[Long] = None,
+             checkpointInterval: Int = 1): DataFrame = {
+    require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
     val root = lit(rootKey)
     // state invariant: `anc` is an ancestor of `key` at exact distance
     // `d`; a row is DONE when anc == root (then d is the final depth)
@@ -65,7 +80,8 @@ object PointerDoubling {
     def anyActive(): Boolean = !st.filter(col("anc") =!= root).isEmpty
     var active = plannedRounds.isDefined || anyActive()
     var i = 0
-    while (active && i < plannedRounds.getOrElse(maxIters)) {
+    val rounds = plannedRounds.getOrElse(maxIters)
+    while (active && i < rounds) {
       val done = st.filter(col("anc") === root)
       // jump: replace each active row's ancestor with that ancestor's
       // OWN tracked ancestor, adding the distances — the inner join
@@ -74,14 +90,40 @@ object PointerDoubling {
         .join(st.as("a"), col("s.anc") === col("a.key"))
         .select(col("s.key").as("key"), col("a.anc").as("anc"),
           (col("s.d") + col("a.d")).as("d"))
-      st = done.union(jumped).localCheckpoint()
-      if (plannedRounds.isEmpty) active = anyActive()
+      st = done.union(jumped)
       i += 1
+      // bounded mode skips the checkpoint on off-interval rounds AND
+      // on the final round (that state is consumed exactly once, by
+      // the caller); unbounded mode must checkpoint every round — the
+      // emptiness probe below would otherwise re-run the whole chain
+      val mustCheckpoint =
+        if (plannedRounds.isDefined) i % checkpointInterval == 0 && i < rounds
+        else true
+      if (mustCheckpoint) st = st.localCheckpoint()
+      if (plannedRounds.isEmpty) active = anyActive()
     }
-    if (plannedRounds.isDefined) active = anyActive()
-    require(!active,
-      s"PointerDoubling.depths did not converge after $i rounds — " +
-        "cycle in the parent relation, or depth exceeds the bound")
-    st.select(col("key"), col("d").as("depth"))
+    if (plannedRounds.isEmpty) {
+      require(!active,
+        s"PointerDoubling.depths did not converge after $i rounds — " +
+          "cycle in the parent relation, or depth exceeds the bound")
+      st.select(col("key"), col("d").as("depth"))
+    } else {
+      // zero-job convergence guard: 2^rounds >= bound, so any row
+      // still pointing below the root means a cycle or a wrong bound.
+      // assert_true throws with this message during the caller's
+      // action; a Filter is never pruned, so the guard runs even
+      // under a bare count(). The OR with an always-true
+      // NONDETERMINISTIC term pins the filter in place: a
+      // deterministic predicate would be pushed through the final
+      // (uncheckpointed) self-join rounds by Catalyst, where the
+      // raise_error fires on mid-round rows the join was about to
+      // resolve — the guard must only ever see FINAL rows
+      st.filter(assert_true(col("anc") === root,
+          lit(s"PointerDoubling.depths did not converge after $i " +
+            "rounds — cycle in the parent relation, or depth exceeds " +
+            "the knownMaxDepth bound")).isNull
+          || spark_partition_id() >= 0)
+        .select(col("key"), col("d").as("depth"))
+    }
   }
 }

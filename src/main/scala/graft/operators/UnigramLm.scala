@@ -37,7 +37,15 @@ object UnigramLm {
             broadcastMaxVocab: Long = 50L * 1000 * 1000): DataFrame = {
     val toks = docs.select(col(id),
       explode(TextFunctions.tokens(lower(col(text)))).as("term"))
+    // lazily checkpointed: the vocab is consumed TWICE (the stats
+    // collect below and the per-doc join) and the explode+groupBy
+    // behind it is the most expensive pass in the operator — without
+    // materializing it the whole corpus scan runs twice. LAZY, not
+    // eager: the stats collect right below is the materializing
+    // action, so the operator stays at two jobs total instead of
+    // adding a third just to fill the cache
     val v = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
     // one driver action on a 1-row aggregate: the scalar corpus stats
     // (the standard Spark pattern for query-shaping parameters)
     val statsRow = v.agg(sum(col("cnt")).as("total"),

@@ -152,6 +152,37 @@ object AnalyticsQueries extends Catalog {
               |  SELECT COUNT(DISTINCT l_partkey) AS exact_distinct
               |  FROM lineitem) e""".stripMargin)),
 
+    // The PRODUCTION approximate-distinct path, bounded-error-gated:
+    // q76's KMV sketch is the deterministic cross-engine anchor, but
+    // what actually runs at 100 TB is HLL (approx_count_distinct — a
+    // fixed-size sketch with map-side partial merge, no distinct
+    // shuffle). HLL registers differ by engine, so the sketch value
+    // itself can't hash-match; instead BOTH engines compute sketch AND
+    // exact per group and emit (exact, |est-exact|/exact <= eps). The
+    // exact columns hash-match as usual and the boolean gates each
+    // engine's own sketch inside the error bound. Spark runs at
+    // rsd=0.02 against eps=0.10, a 5-sigma margin — the flag is
+    // deterministic (HLL has no RNG), not flaky.
+    Q("q104_approx_distinct_gate",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        li.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+               approx_count_distinct(col("l_partkey"), 0.02).as("est"))
+          .select(col("l_returnflag"), col("exact_parts"),
+            (abs(col("est") - col("exact_parts")).cast("double")
+              / col("exact_parts").cast("double") <= 0.10)
+              .as("within_eps"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  COUNT(DISTINCT l_partkey) AS exact_parts,
+             |  ABS(approx_count_distinct(l_partkey)
+             |      - COUNT(DISTINCT l_partkey))
+             |    / CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) <= 0.10
+             |    AS within_eps
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Heavy hitters: exact global top-20 terms. TakeOrderedAndProject
     // keeps the top-k partial per partition — only 20 rows per task
     // cross the final exchange.

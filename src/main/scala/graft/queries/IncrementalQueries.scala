@@ -326,12 +326,17 @@ object IncrementalQueries extends Catalog {
         // tiny agg job buys a fixed round count (no per-round
         // convergence jobs inside the operator)
         val maxKey = part.agg(max(col("p_partkey")).cast("long")).head.getLong(0)
+        // checkpointInterval=2: the part hierarchy is small relative
+        // to the per-job floor, so halving the checkpoint jobs (and
+        // letting the last rounds fold into the caller's action)
+        // matters more than the ~3x re-read of the cached state
         graft.operators.PointerDoubling.depths(
             part.filter(col("p_partkey") > 0),
             col("p_partkey"),
             floor(col("p_partkey") / 2.0).cast("long"),
             rootKey = 0L,
-            knownMaxDepth = Some(64L - java.lang.Long.numberOfLeadingZeros(maxKey)))
+            knownMaxDepth = Some(64L - java.lang.Long.numberOfLeadingZeros(maxKey)),
+            checkpointInterval = 2)
           .groupBy(col("depth"))
           .agg(count(lit(1)).as("n"),
             min(col("key")).as("min_key"), max(col("key")).as("max_key"))

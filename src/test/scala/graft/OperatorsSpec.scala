@@ -89,6 +89,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("PointerDoubling.depths bounded mode: same result, in-plan guard fires") {
+    import graft.operators.PointerDoubling
+    val edges = (1L to 50L).map(k => (k, k - 1)).toDF("k", "p")
+    // trusted bound + sparse checkpoints: identical labels to the
+    // probe-per-round path, at roughly half the job count
+    val got = PointerDoubling.depths(edges, $"k", $"p", rootKey = 0L,
+        knownMaxDepth = Some(50L), checkpointInterval = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 50L).map(k => k -> k).toMap)
+    // a WRONG bound must not silently mislabel: the zero-job
+    // assert_true guard throws during the caller's action — even a
+    // bare count(), which prunes columns but never prunes a Filter
+    val thrown = intercept[Exception] {
+      PointerDoubling.depths(edges, $"k", $"p", rootKey = 0L,
+          knownMaxDepth = Some(4L)).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(thrown).exists(_.contains("did not converge")))
+  }
+
   test("hash sampling is deterministic, monotone in rate, and stratifiable") {
     val df = (0L until 2000L).toDF("id").withColumn(
       "lang", when($"id" % 3 === 0, "en").otherwise("pt"))
