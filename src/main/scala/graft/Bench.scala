@@ -25,9 +25,11 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val fns = SparkEntry.queries
 
-    // warm methodology, symmetric with tools/bench_baseline.py: each
-    // query runs once to warm (plan cache, file footers, codegen),
-    // then the MEDIAN of 5 timed executions is reported — single-run
+    // warm-then-time methodology, symmetric with
+    // tools/bench_baseline.py (which also warms once and reports the
+    // median of the same run count): each query runs once to warm
+    // (plan cache, file footers, codegen), then the MEDIAN of 5 timed
+    // executions is reported — single-run
     // numbers at sf0.1 swing ±1-2 s with ambient load (r8's q70–q91
     // block moved 1.5–4x with zero code change on 3 reps), medians
     // over 5 keep the round-over-round comparison stable.
@@ -101,8 +103,14 @@ object Bench {
       }.mkString("{\n  ", ",\n  ", "\n}")
       val body =
         s"""{"sf":"$sfDir","runs":$runs,"total_med":${num(3, total)},"total_min":${num(3, totalMin)},"total_max":${num(3, totalMax)},"queries":$detail}"""
-      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      // best-effort: an unwritable detail path must not crash the run
+      // and lose the stdout metrics line the harness parses
+      try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         body.getBytes("UTF-8"))
+      catch {
+        case e: java.io.IOException =>
+          System.err.println(s"bench detail write failed ($detailPath): $e")
+      }
     }
     spark.stop()
     // after stop: Spark can no longer interleave shutdown logs; with

@@ -112,17 +112,19 @@ object PointerDoubling {
       // still pointing below the root means a cycle or a wrong bound.
       // assert_true throws with this message during the caller's
       // action; a Filter is never pruned, so the guard runs even
-      // under a bare count(). The OR with an always-true
-      // NONDETERMINISTIC term pins the filter in place: a
-      // deterministic predicate would be pushed through the final
-      // (uncheckpointed) self-join rounds by Catalyst, where the
-      // raise_error fires on mid-round rows the join was about to
-      // resolve — the guard must only ever see FINAL rows
-      st.filter(assert_true(col("anc") === root,
+      // under a bare count(). The LAZY checkpoint below the filter is
+      // what keeps the guard sound: Catalyst would otherwise push the
+      // deterministic predicate through the final (uncheckpointed)
+      // self-join rounds, where the raise_error fires on mid-round
+      // rows the join was about to resolve. A LogicalRDD is a
+      // pushdown barrier, so the guard only ever sees FINAL rows —
+      // and lazy means no extra job: the caller's first action is
+      // what materializes the final state.
+      st.localCheckpoint(eager = false)
+        .filter(assert_true(col("anc") === root,
           lit(s"PointerDoubling.depths did not converge after $i " +
             "rounds — cycle in the parent relation, or depth exceeds " +
-            "the knownMaxDepth bound")).isNull
-          || spark_partition_id() >= 0)
+            "the knownMaxDepth bound")).isNull)
         .select(col("key"), col("d").as("depth"))
     }
   }

@@ -365,10 +365,18 @@ object TextQueries extends Catalog {
     // df(a,b) >= 20 keeps degenerate rare-pair lifts out.
     Q("q99_cooccurrence",
       (s, dir) => {
+        // lazily checkpointed (the q84 fix): `t` is consumed THREE
+        // times (the df aggregate plus both self-join sides) and the
+        // scan+tokenize+explode behind it is the expensive pass —
+        // without materializing it once, ReuseExchange is not
+        // guaranteed to dedupe the explode and the corpus scan can
+        // run 3x. LAZY: the first consumer's action fills the cache,
+        // no extra job.
         val t = Tables.load(s, dir, "documents")
           .select(col("doc_id"),
             explode(array_distinct(tokens(lower(col("text")))))
               .as("t"))
+          .localCheckpoint(eager = false)
         val df_ = t.groupBy(col("t")).agg(count(lit(1)).as("df"))
         val nDocs = Tables.load(s, dir, "documents")
           .agg(count(lit(1)).as("n_docs"))
