@@ -19,10 +19,16 @@ object Bench {
 
     // Dev-only subset filter (comma-separated names), mirroring
     // Verify's SPARK_GRAFT_VERIFY_ONLY; the driver never sets it.
+    // When set it selects from the FULL catalog, not just the
+    // headline bench set, so non-headline operators (e.g. the q47
+    // vs q103 connected-components A/B) can be timed with the same
+    // warm+median methodology.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val names = SparkEntry.benchQueries.sorted
-      .filter(n => only.forall(_.contains(n)))
+    val names = only match {
+      case Some(set) => SparkEntry.queries.keys.toSeq.sorted.filter(set)
+      case None      => SparkEntry.benchQueries.sorted
+    }
     val fns = SparkEntry.queries
 
     // warm-then-time methodology, symmetric with

@@ -330,13 +330,16 @@ object IncrementalQueries extends Catalog {
         // to the per-job floor, so halving the checkpoint jobs (and
         // letting the last rounds fold into the caller's action)
         // matters more than the ~3x re-read of the cached state
+        // (measured 1-vs-2 at sf0.1 and sf1 — PLANS.md "q96" table;
+        // the env knob exists only to re-run that A/B)
         graft.operators.PointerDoubling.depths(
             part.filter(col("p_partkey") > 0),
             col("p_partkey"),
             floor(col("p_partkey") / 2.0).cast("long"),
             rootKey = 0L,
             knownMaxDepth = Some(64L - java.lang.Long.numberOfLeadingZeros(maxKey)),
-            checkpointInterval = 2)
+            checkpointInterval =
+              sys.env.get("SPARK_GRAFT_Q96_CKPT").map(_.toInt).getOrElse(2))
           .groupBy(col("depth"))
           .agg(count(lit(1)).as("n"),
             min(col("key")).as("min_key"), max(col("key")).as("max_key"))

@@ -228,6 +228,78 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("checkpointed query recovers exactly-once after a kill/restart") {
+    // The production-ingest property the other cases don't cover: a
+    // file-checkpointed query is stopped cold mid-stream and a NEW
+    // query object resumes from the checkpoint — committed batches
+    // must not re-emit (no duplicates), nothing is lost, and the
+    // session STATE survives: user 1 has an open session at kill time
+    // that an event after the restart must MERGE into, so a pass
+    // proves state-store recovery, not just source-offset recovery.
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_ckpt_recovery")
+    val inDir = root.resolve("in"); Files.createDirectories(inDir)
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    val sch = "event_id LONG, ts STRING, user_id LONG, " +
+      "event_type STRING, value DOUBLE"
+    def addFile(name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      val lines = rows.map { case (id, t, u) =>
+        s"""{"event_id":$id,"ts":"2024-01-01 $t:00","user_id":$u,""" +
+          s""""event_type":"click","value":1.0}"""
+      }.mkString("\n")
+      Files.write(inDir.resolve(name), lines.getBytes("UTF-8"))
+    }
+    def startQuery() = EventStreams.sessionWindowStats(
+        spark.readStream.schema(sch).json(inDir.toString),
+        gap = "10 minutes", watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).start()
+
+    // phase 1: two closed sessions (u1, u2), one still-open session
+    // (u1 @ 11:55), and a watermark-advancing row (u99 @ 12:00)
+    addFile("p1.json", Seq(
+      (1L, "10:00", 1L), (2L, "10:05", 1L), (3L, "10:02", 2L),
+      (4L, "11:55", 1L), (5L, "12:00", 99L)))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // cold stop: no graceful drain beyond the last commit
+
+    // phase 2: u1 @ 12:02 lands INSIDE the session left open before
+    // the kill; u3 is a fresh session; u99 @ 14:00 pushes the
+    // watermark to 13:50 so everything earlier finalizes
+    addFile("p2.json", Seq(
+      (6L, "12:02", 1L), (7L, "12:30", 3L), (8L, "14:00", 99L)))
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val streamed = spark.read.parquet(outDir)
+        .collect().map(_.toSeq).toSet
+      // oracle: the SAME plan over the whole input as one batch,
+      // truncated to sessions the final watermark (13:50) finalized
+      val batch = EventStreams.sessionWindowStats(
+          spark.read.schema(sch).json(inDir.toString), gap = "10 minutes")
+        .filter($"session_end" <= lit("2024-01-01 13:50:00").cast("timestamp"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"streamed=$streamed\nbatch=$batch")
+      // the open-at-kill u1 session merged with the post-restart event
+      assert(streamed.exists(r => r(0) == 1L &&
+        r(1) == java.sql.Timestamp.valueOf("2024-01-01 11:55:00") &&
+        r(3) == 2L), s"u1 session did not merge across restart: $streamed")
+      // exactly-once: committed phase-1 output did not re-emit
+      val all = spark.read.parquet(outDir).collect().map(_.toSeq).toSeq
+      assert(all.size == all.distinct.size, s"duplicate rows: $all")
+    } finally {
+      q2.stop()
+      // best-effort temp cleanup
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   private def withSQLConf(kv: (String, String)*)(f: => Unit): Unit = {
     val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -124,7 +124,10 @@ write("orders", pa.table({
     "o_custkey": pa.array(r.integers(0, n_cust, n_ord)),
     "o_orderstatus": pa.array(np.array(["F", "O", "P"])[r.integers(0, 3, n_ord)]),
     "o_totalprice": pa.array(np.round(r.uniform(1000, 500_000, n_ord), 2)),
-    "o_orderdate": pa.array(orderdates, pa.timestamp("us")),
+    # driver stores order/ship dates as timestamp[ms], events as
+    # timestamp[ns] (plain int64 to Spark, ns->us converted in the
+    # loader) - match exactly or the loader's conversion breaks
+    "o_orderdate": pa.array(orderdates // 1000, pa.timestamp("ms")),
     "o_orderpriority": pa.array(np.array(
         ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     )[r.integers(0, 5, n_ord)]),
@@ -146,8 +149,8 @@ write("lineitem", pa.table({
     "l_tax": pa.array(np.round(r.integers(0, 9, n_li) * 0.01, 2)),
     "l_returnflag": pa.array(np.array(["A", "N", "R"])[r.integers(0, 3, n_li)]),
     "l_linestatus": pa.array(np.array(["F", "O"])[r.integers(0, 2, n_li)]),
-    "l_shipdate": pa.array(shipbase + r.integers(1, 96, n_li) * DAY_US,
-                           pa.timestamp("us")),
+    "l_shipdate": pa.array((shipbase + r.integers(1, 96, n_li) * DAY_US)
+                           // 1000, pa.timestamp("ms")),
 }))
 
 # ---- events ----
@@ -158,7 +161,7 @@ t0, t1 = ts_us("2024-01-01"), ts_us("2024-01-31")
 ts = np.sort(r.integers(t0, t1, n))
 write("events", pa.table({
     "event_id": pa.array(np.arange(n, dtype=np.int64)),
-    "ts": pa.array(ts, pa.timestamp("us")),
+    "ts": pa.array(ts * 1000, pa.timestamp("ns")),
     "user_id": pa.array(r.integers(0, n_users, n)),
     "event_type": pa.array(np.array(
         ["click", "error", "purchase", "signup", "view"])[r.integers(0, 5, n)]),
