@@ -46,7 +46,11 @@ object Bench {
           val t0 = System.nanoTime()
           fns(name)(spark, sfDir).count()
           Some((System.nanoTime() - t0) / 1e9)
-        } catch { case _: Throwable => None }
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"bench query $name failed: $e")
+            None
+        }
       once() // warm
       // a query that threw is reported as -1 and listed in "failed",
       // never as a near-zero time that silently improves the total
