@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{ChunkMd5, DotProduct, MultiMinHash, ShingleMd5, SortedIntersectCount, SortedIntersectCountLong, TokenFingerprint}
+import graft.functions.expressions.{ChunkMd5, DotProduct, MultiMinHash, ShingleMd5, SortedIntersectCount, SortedIntersectCountLong, TokenFingerprint, TokenPairs}
 
 /** SQL-surface registration of the engine's custom expressions, so
   * `spark.sql("SELECT token_fingerprint(lower(text)) …")` works.
@@ -91,7 +91,10 @@ object GraftExtensions {
     ("chunk_md5",
       new ExpressionInfo(classOf[ChunkMd5].getName, "chunk_md5"),
       arity("chunk_md5", 2)(es => ChunkMd5(es.head,
-        intLit("chunk_md5", "chunkLen", es, 1)))))
+        intLit("chunk_md5", "chunkLen", es, 1)))),
+    ("token_pairs",
+      new ExpressionInfo(classOf[TokenPairs].getName, "token_pairs"),
+      arity("token_pairs", 1)(es => TokenPairs(es.head))))
 
   /** Register into an existing session's temp-function registry. */
   def register(spark: SparkSession): Unit =

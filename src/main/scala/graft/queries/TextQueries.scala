@@ -358,31 +358,33 @@ object TextQueries extends Catalog {
 
     // Token co-occurrence lift (log-free PMI): how much more often
     // two tokens share a document than independence predicts,
-    // lift = n_docs * df(a,b) / (df(a) * df(b)). Pairs come from a
-    // per-doc self-join on distinct tokens (t1 < t2) — codegen'd and
-    // blocked by doc_id, NOT an interpreted in-array pair lambda (the
-    // q83 lesson) and never a corpus-wide cross join. Support floor
-    // df(a,b) >= 20 keeps degenerate rare-pair lifts out.
+    // lift = n_docs * df(a,b) / (df(a) * df(b)). Pairs are generated
+    // IN-EXPRESSION (TokenPairs, one pass per doc over the sorted
+    // distinct tokens) and exploded straight into the (t1, t2) count
+    // — the per-doc self-join this replaces paid a doc_id exchange,
+    // a join, and a checkpointed exploded table for the same rows;
+    // here the only shuffles are map-side-combined groupBys, and the
+    // corpus is scanned twice from parquet (cheaper than
+    // materializing the 30x-larger exploded form once). Support
+    // floor df(a,b) >= 20 keeps degenerate rare-pair lifts out.
     Q("q99_cooccurrence",
       (s, dir) => {
-        // lazily checkpointed (the q84 fix): `t` is consumed THREE
-        // times (the df aggregate plus both self-join sides) and the
-        // scan+tokenize+explode behind it is the expensive pass —
-        // without materializing it once, ReuseExchange is not
-        // guaranteed to dedupe the explode and the corpus scan can
-        // run 3x. LAZY: the first consumer's action fills the cache,
-        // no extra job.
-        val t = Tables.load(s, dir, "documents")
-          .select(col("doc_id"),
-            explode(array_distinct(tokens(lower(col("text")))))
-              .as("t"))
+        import graft.functions.expressions.TokenPairs.tokenPairs
+        // ONE tokenize pass: the compact (doc_id, toks) ARRAY table is
+        // lazily checkpointed (30x smaller than checkpointing the
+        // exploded rows) and both consumers explode from the cached
+        // arrays — regexp tokenization is the expensive part and runs
+        // once (the q84 lesson)
+        val docs = Tables.load(s, dir, "documents")
+        val tokTable = docs
+          .select(array_distinct(tokens(lower(col("text")))).as("toks"))
           .localCheckpoint(eager = false)
-        val df_ = t.groupBy(col("t")).agg(count(lit(1)).as("df"))
-        val nDocs = Tables.load(s, dir, "documents")
-          .agg(count(lit(1)).as("n_docs"))
-        val pairs = t.select(col("doc_id"), col("t").as("t1"))
-          .join(t.select(col("doc_id"), col("t").as("t2")), Seq("doc_id"))
-          .filter(col("t1") < col("t2"))
+        val df_ = tokTable.select(explode(col("toks")).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val pairs = tokTable
+          .select(explode(tokenPairs(col("toks"))).as("p"))
+          .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
           .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c_ab"))
           .filter(col("c_ab") >= 20)
         pairs

@@ -177,4 +177,49 @@ class CustomExpressionsSpec extends SparkSpec {
       .orderBy($"doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("TokenPairs == exploded-table self-join pair counts, incl. edges") {
+    import graft.functions.expressions.TokenPairs.tokenPairs
+    // edge cases: null array, empty, 1 token, dups (deduped), null
+    // elements (skipped), pre-sorted vs unsorted input
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (0L, CAST(NULL AS ARRAY<STRING>)),
+        |  (1L, array('b', 'a', 'c')),
+        |  (2L, array('x')),
+        |  (3L, array()),
+        |  (4L, array('b', 'b', 'a', CAST(NULL AS STRING), 'a')),
+        |  (5L, array('a', 'b', 'c'))
+        |AS t(id, toks)""".stripMargin)
+    val viaExpr = df.select($"id", explode(tokenPairs($"toks")).as("p"))
+      .select($"id", $"p.t1", $"p.t2")
+      .orderBy($"id", $"t1", $"t2").collect().toSeq
+    val t = df.select($"id", explode(array_distinct($"toks")).as("t"))
+      .where($"t".isNotNull)
+    val viaJoin = t.as("a")
+      .join(t.as("b"),
+        col("a.id") === col("b.id") && col("a.t") < col("b.t"))
+      .select(col("a.id"), col("a.t").as("t1"), col("b.t").as("t2"))
+      .orderBy($"id", $"t1", $"t2").collect().toSeq
+    assert(viaExpr == viaJoin)
+    // null array propagates (explode drops the row — same as before)
+    assert(df.select(tokenPairs($"toks").as("p")).where($"p".isNull)
+      .count() == 1)
+
+    // real corpus: pair multiset identical to the self-join form
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id",
+        array_distinct(TextFunctions.tokens(lower($"text"))).as("toks"))
+    val exprCounts = docs
+      .select(explode(tokenPairs($"toks")).as("p"))
+      .groupBy($"p.t1", $"p.t2").count()
+      .orderBy($"t1", $"t2").collect().toSeq
+    val tt = docs.select($"doc_id", explode($"toks").as("t"))
+    val joinCounts = tt.as("a")
+      .join(tt.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("t1"), col("b.t").as("t2")).count()
+      .orderBy($"t1", $"t2").collect().toSeq
+    assert(exprCounts == joinCounts)
+  }
 }

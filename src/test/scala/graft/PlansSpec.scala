@@ -75,14 +75,18 @@ class PlansSpec extends SparkSpec {
       s"intersect threshold left the join condition:\n$p")
   }
 
-  test("q99: the exploded token table evaluates once, not per consumer") {
+  test("q99: in-expression pair generation — no doc_id self-join") {
     val p = plan("q99_cooccurrence")
-    // the lazy localCheckpoint turns all three consumers (df agg +
-    // both self-join sides) into scans of ONE materialized RDD; an
-    // inline Generate here means the corpus re-tokenizes per consumer
-    assert(!p.contains("Generate explode"),
-      s"explode re-inlined into the consumers:\n$p")
-    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
-      s"checkpointed token table not shared:\n$p")
+    // TokenPairs generates the (t1, t2) pairs inside the scan
+    // projection: the only joins left are the broadcast df/n_docs
+    // enrichments — a SortMergeJoin (or any exchange keyed on doc_id)
+    // means the per-doc self-join crept back in
+    assert(!p.contains("SortMergeJoin"),
+      s"doc_id self-join reappeared:\n$p")
+    assert(p.contains("token_pairs"),
+      s"TokenPairs expression missing from the plan:\n$p")
+    // both aggregates keep their map-side partial phase
+    assert("partial_count".r.findAllIn(p).size >= 2,
+      s"map-side partial aggregation missing:\n$p")
   }
 }
