@@ -98,16 +98,33 @@ object Dedup {
     * by `blockKeys` (cheap equality blocking — at scale this would be
     * the LSH candidates instead), pairs inside a block are scored by
     * distinct-token Jaccard, and pairs >= `threshold` survive.
+    *
+    * `chunks` is the skew knob: blocking keys are typically LOW
+    * cardinality (a language × length-bucket scheme yields tens of
+    * blocks), so a plain block-equi self-join hashes each block to ONE
+    * shuffle partition and the biggest block's quadratic pair scan runs
+    * single-threaded — measured 211 s at sf1, where one block holds
+    * ~19k docs (~176M candidate pairs) and only 10 join-key values
+    * exist. The triangle decomposition below splits every block into
+    * `chunks` uniform sub-chunks by doc-id hash and emits one join task
+    * per (ca <= cb) chunk pair, so a block spreads over
+    * chunks*(chunks+1)/2 tasks at a shuffle-replication cost of
+    * ~chunks/2 copies of each doc row. Exact — every in-block pair is
+    * generated exactly once: a cross-chunk pair {x,y} only matches the
+    * (chunk(x), chunk(y)) orientation with chunk keys in ascending
+    * order, and a same-chunk pair is ordered by doc id.
     */
   def jaccardPairs(df: DataFrame, id: Column, text: Column,
-                   blockKeys: Seq[Column], threshold: Double): DataFrame = {
+                   blockKeys: Seq[Column], threshold: Double,
+                   chunks: Int = 16): DataFrame = {
+    require(chunks >= 1, "chunks must be >= 1")
     // Block-equi join on the blocking keys, then one merge scan per
     // candidate pair over SORTED distinct token arrays (custom
     // SortedIntersectCount expression). Compared at sf0.1: 30x faster
     // than per-pair array_contains scans, 2x faster than an
     // inverted-index token self-join (which shuffles |pairs| x |shared
     // tokens| rows); here the only shuffled rows are the docs
-    // themselves, once per block.
+    // themselves, ~chunks/2 times per block.
     val keys = blockKeys.indices.map(i => s"bk$i")
     // tokens collapse to sorted 64-bit hashes: the join then moves
     // compact long arrays instead of fat string arrays, and the merge
@@ -119,14 +136,42 @@ object Dedup {
           t => xxhash64(t))).as("toks") +:
         blockKeys.zipWithIndex.map { case (c, i) => c.as(s"bk$i") }): _*)
       .withColumn("n_toks", size(col("toks")))
-    val a = docs.as("a")
-    val b = docs.as("b")
+      .withColumn("chunk",
+        pmod(xxhash64(col("doc_id")), lit(chunks)).cast("int"))
+    // triangle replication: the a side of a doc in chunk c serves every
+    // task (c, cb >= c); the b side serves every task (ca <= c, c).
+    //
+    // The explicit fixed-count repartition on the task key is load-
+    // bearing: the shuffle BYTES here are tiny (docs replicated
+    // ~chunks/2 times) while the work per partition is quadratic in
+    // its chunk sizes, so AQE's byte-based partition coalescing — and,
+    // on a single-file input, the scan's own 1-split parallelism —
+    // would otherwise funnel the whole pair scan into one or two
+    // threads. A user-specified repartition count is exempt from AQE
+    // coalescing, which is exactly the contract needed: task count is
+    // chosen by the pair-work model (blocks x chunk pairs), not by
+    // shuffle volume.
+    val shuffleParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val a = docs
+      .withColumn("cb", explode(sequence(col("chunk"), lit(chunks - 1))))
+      .repartition(shuffleParts,
+        (keys.map(col) :+ col("chunk") :+ col("cb")): _*)
+      .as("a")
+    val b = docs
+      .withColumn("ca", explode(sequence(lit(0), col("chunk"))))
+      .as("b")
     // size-ratio prefilter: jaccard <= min(na,nb)/max(na,nb), so pairs
     // whose token counts differ by more than the threshold ratio can
     // never qualify — pruning them in the join changes nothing in the
-    // result but cuts the candidate volume.
+    // result but cuts the candidate volume. The chunk equalities are
+    // the extra equi keys that spread a hot block across tasks; the
+    // doc-id ordering only disambiguates same-chunk tasks (cross-chunk
+    // pairs match exactly one chunk orientation already).
     val joinCond = (keys.map(k => col(s"a.$k") === col(s"b.$k")) :+
-      (col("a.doc_id") < col("b.doc_id")) :+
+      (col("a.chunk") === col("b.ca")) :+
+      (col("a.cb") === col("b.chunk")) :+
+      (col("a.chunk") =!= col("b.chunk") ||
+        col("a.doc_id") < col("b.doc_id")) :+
       (col("a.n_toks").cast("double") >= col("b.n_toks") * threshold) :+
       (col("b.n_toks").cast("double") >= col("a.n_toks") * threshold))
       .reduce(_ && _)
@@ -137,7 +182,8 @@ object Dedup {
         col("inter").cast("double") /
           (col("a.n_toks") + col("b.n_toks") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+              greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
               col("jaccard"))
   }
 
