@@ -99,25 +99,16 @@ object Dedup {
     * the LSH candidates instead), pairs inside a block are scored by
     * distinct-token Jaccard, and pairs >= `threshold` survive.
     *
-    * `chunks` is the skew knob: blocking keys are typically LOW
-    * cardinality (a language × length-bucket scheme yields tens of
-    * blocks), so a plain block-equi self-join hashes each block to ONE
-    * shuffle partition and the biggest block's quadratic pair scan runs
-    * single-threaded — measured 211 s at sf1, where one block holds
-    * ~19k docs (~176M candidate pairs) and only 10 join-key values
-    * exist. The triangle decomposition below splits every block into
-    * `chunks` uniform sub-chunks by doc-id hash and emits one join task
-    * per (ca <= cb) chunk pair, so a block spreads over
-    * chunks*(chunks+1)/2 tasks at a shuffle-replication cost of
-    * ~chunks/2 copies of each doc row. Exact — every in-block pair is
-    * generated exactly once: a cross-chunk pair {x,y} only matches the
-    * (chunk(x), chunk(y)) orientation with chunk keys in ascending
-    * order, and a same-chunk pair is ordered by doc id.
+    * `chunks` is the skew knob, delegated to [[TrianglePairs]]: the
+    * blocking keys are low cardinality (a language × length-bucket
+    * scheme yields tens of blocks), so without salting the biggest
+    * block's quadratic pair scan runs single-threaded — measured 211 s
+    * at sf1 (~19k docs, ~176M candidate pairs in one block against 10
+    * join-key values), 15 s salted.
     */
   def jaccardPairs(df: DataFrame, id: Column, text: Column,
                    blockKeys: Seq[Column], threshold: Double,
                    chunks: Int = 16): DataFrame = {
-    require(chunks >= 1, "chunks must be >= 1")
     // Block-equi join on the blocking keys, then one merge scan per
     // candidate pair over SORTED distinct token arrays (custom
     // SortedIntersectCount expression). Compared at sf0.1: 30x faster
@@ -136,45 +127,15 @@ object Dedup {
           t => xxhash64(t))).as("toks") +:
         blockKeys.zipWithIndex.map { case (c, i) => c.as(s"bk$i") }): _*)
       .withColumn("n_toks", size(col("toks")))
-      .withColumn("chunk",
-        pmod(xxhash64(col("doc_id")), lit(chunks)).cast("int"))
-    // triangle replication: the a side of a doc in chunk c serves every
-    // task (c, cb >= c); the b side serves every task (ca <= c, c).
-    //
-    // The explicit fixed-count repartition on the task key is load-
-    // bearing: the shuffle BYTES here are tiny (docs replicated
-    // ~chunks/2 times) while the work per partition is quadratic in
-    // its chunk sizes, so AQE's byte-based partition coalescing — and,
-    // on a single-file input, the scan's own 1-split parallelism —
-    // would otherwise funnel the whole pair scan into one or two
-    // threads. A user-specified repartition count is exempt from AQE
-    // coalescing, which is exactly the contract needed: task count is
-    // chosen by the pair-work model (blocks x chunk pairs), not by
-    // shuffle volume.
-    val shuffleParts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val a = docs
-      .withColumn("cb", explode(sequence(col("chunk"), lit(chunks - 1))))
-      .repartition(shuffleParts,
-        (keys.map(col) :+ col("chunk") :+ col("cb")): _*)
-      .as("a")
-    val b = docs
-      .withColumn("ca", explode(sequence(lit(0), col("chunk"))))
-      .as("b")
+    val (a, b, keyCond) = TrianglePairs.salted(docs, "doc_id", keys, chunks)
     // size-ratio prefilter: jaccard <= min(na,nb)/max(na,nb), so pairs
     // whose token counts differ by more than the threshold ratio can
     // never qualify — pruning them in the join changes nothing in the
-    // result but cuts the candidate volume. The chunk equalities are
-    // the extra equi keys that spread a hot block across tasks; the
-    // doc-id ordering only disambiguates same-chunk tasks (cross-chunk
-    // pairs match exactly one chunk orientation already).
-    val joinCond = (keys.map(k => col(s"a.$k") === col(s"b.$k")) :+
-      (col("a.chunk") === col("b.ca")) :+
-      (col("a.cb") === col("b.chunk")) :+
-      (col("a.chunk") =!= col("b.chunk") ||
-        col("a.doc_id") < col("b.doc_id")) :+
-      (col("a.n_toks").cast("double") >= col("b.n_toks") * threshold) :+
-      (col("b.n_toks").cast("double") >= col("a.n_toks") * threshold))
-      .reduce(_ && _)
+    // result but cuts the candidate volume.
+    val joinCond = keyCond &&
+      TrianglePairs.orderedOnce(col("a.doc_id"), col("b.doc_id")) &&
+      (col("a.n_toks").cast("double") >= col("b.n_toks") * threshold) &&
+      (col("b.n_toks").cast("double") >= col("a.n_toks") * threshold)
     a.join(b, joinCond)
       .withColumn("inter",
         sortedIntersectCountLong(col("a.toks"), col("b.toks")))

@@ -258,19 +258,27 @@ object Similarity {
     * the (tunable via `nbits`) recall loss. At 100 TB this is the
     * near-dup shape that works: no row ever meets a row outside its
     * bucket, so cost scales with Σ bucket² not corpus².
+    *
+    * `chunks` is the [[TrianglePairs]] skew knob: 2^nbits buckets is a
+    * low-cardinality join key (16 here), and clustered embeddings
+    * concentrate in few sign buckets, so the hot bucket's quadratic
+    * scan would otherwise run on one thread.
     */
   def cosinePairsBlocked(df: DataFrame, id: String, vec: String,
                          threshold: Double, nbits: Int,
-                         roundTo: Int = 9): DataFrame = {
-    val a = df.select(col(id).as("id_a"), col(vec).as("va"),
-      signBucket(col(vec), nbits).as("bucket"), l2Norm(col(vec)).as("na"))
-    val b = df.select(col(id).as("id_b"), col(vec).as("vb"),
-      signBucket(col(vec), nbits).as("bucket"), l2Norm(col(vec)).as("nb"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+                         roundTo: Int = 9, chunks: Int = 16): DataFrame = {
+    val rows = df.select(col(id).as("vid"), col(vec).as("v"),
+      signBucket(col(vec), nbits).as("bucket"), l2Norm(col(vec)).as("nrm"))
+    val (a, b, keyCond) =
+      TrianglePairs.salted(rows, "vid", Seq("bucket"), chunks)
+    a.join(b, keyCond &&
+        TrianglePairs.orderedOnce(col("a.vid"), col("b.vid")))
       .withColumn("cos",
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), roundTo))
+        round(dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm")), roundTo))
       .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
+      .select(least(col("a.vid"), col("b.vid")).as("id_a"),
+              greatest(col("a.vid"), col("b.vid")).as("id_b"),
+              col("cos"))
   }
 }

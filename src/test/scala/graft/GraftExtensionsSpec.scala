@@ -61,6 +61,6 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(GraftExtensions.functions.map(_._1).toSet ==
       Set("multi_min_hash", "sorted_intersect_count",
           "sorted_intersect_count_long", "token_fingerprint",
-          "dot_product", "shingle_md5", "chunk_md5"))
+          "dot_product", "shingle_md5", "chunk_md5", "token_pairs"))
   }
 }

@@ -137,6 +137,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TrianglePairs: salted pair generation is exact — chunks=k " +
+    "equals the chunks=1 plain block join for every k") {
+    // random docs over a tiny vocab in few blocks, so in-block pairs
+    // are dense and the chunk decomposition is exercised across block
+    // boundaries, same-chunk pairs, and cross-chunk orientations
+    val docGen = for {
+      n <- Gen.choose(20, 60)
+      words <- Gen.listOfN(n, Gen.listOfN(6,
+        Gen.oneOf("a b c d e f g h i j".split(" ").toSeq)))
+      blocks <- Gen.listOfN(n, Gen.choose(0, 2))
+    } yield words.map(_.mkString(" ")).zip(blocks).zipWithIndex
+      .map { case ((t, blk), i) => (i.toLong, t, blk) }
+    forAllSamples(docGen, n = 5) { docs =>
+      val df = docs.toDF("doc_id", "text", "blk")
+      def pairs(chunks: Int) =
+        graft.operators.Dedup.jaccardPairs(df, $"doc_id", $"text",
+            Seq($"blk"), threshold = 0.5, chunks = chunks)
+          .select("doc_a", "doc_b").collect().map(r =>
+            (r.getLong(0), r.getLong(1))).toSet
+      val plain = pairs(1)
+      for (k <- Seq(3, 7)) {
+        assert(pairs(k) == plain,
+          s"chunks=$k pair set diverged from the unsalted join")
+      }
+    }
+  }
+
   test("Decontaminate: n_hits <= n_grams; zero-overlap eval set flags nothing") {
     val textGen = Gen.listOfN(6, Gen.oneOf("aa", "bb", "cc", "dd"))
       .map(_.mkString(" "))
