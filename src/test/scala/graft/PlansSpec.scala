@@ -75,6 +75,23 @@ class PlansSpec extends SparkSpec {
       s"intersect threshold left the join condition:\n$p")
   }
 
+  test("q45/q57: salted pair scan keeps its fixed-count task repartition") {
+    // TrianglePairs pins the task count with a user repartition on
+    // (block keys, __chunk, __cb) — REPARTITION_BY_NUM is the origin
+    // AQE may not coalesce. If this degrades to ENSURE_REQUIREMENTS
+    // (or the salt columns vanish), byte-based coalescing re-funnels
+    // the biggest block's quadratic pair scan into one thread
+    // (measured 211 s at sf1 for q45).
+    for (q <- Seq("q45_jaccard_pairs", "q57_near_dup_blocked")) {
+      val p = plan(q)
+      val salted = p.linesIterator.filter(l =>
+        l.contains("hashpartitioning") && l.contains("__cb")).toSeq
+      assert(salted.nonEmpty, s"$q: salt columns left the exchange:\n$p")
+      assert(salted.exists(_.contains("REPARTITION_BY_NUM")),
+        s"$q: task repartition no longer user-pinned:\n$p")
+    }
+  }
+
   test("q99: in-expression pair generation — no doc_id self-join") {
     val p = plan("q99_cooccurrence")
     // TokenPairs generates the (t1, t2) pairs inside the scan
