@@ -15,12 +15,21 @@ import org.apache.spark.sql.SparkSession
   *    timestamp comparison assumes wall-clock == UTC.
   *  - shuffle partitions sized to the local core count, not the 200
   *    default (on a real cluster this would be AQE + a per-job target).
+  *  - `files.maxPartitionBytes` lowered from 128 MB to 16 MB: the test
+  *    rig reads single-file tables (sf1 lineitem is one 115 MB file),
+  *    and at the default every lineitem scan at sf1 collapses to ONE
+  *    partition — a single-threaded scan feeding 32 idle cores
+  *    (measured: q11's trivial distinct at 1.8 s vs 0.45 s). 16 MB
+  *    keeps scan parallelism ≈ cores for the ~0.1–1 GB local inputs;
+  *    on a real cluster this is tuned to the file/split layout, and
+  *    100 TB inputs arrive as many files regardless.
   */
 object GraftSession {
   def builder(master: String, shufflePartitions: String): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

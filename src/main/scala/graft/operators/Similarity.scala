@@ -237,8 +237,15 @@ object Similarity {
     */
   def cosinePairs(df: DataFrame, id: String, vec: String,
                   threshold: Double, roundTo: Int = 9): DataFrame = {
+    // the stream side of the nested-loop join gets an explicit round-
+    // robin repartition: an embeddings table is small in BYTES (20k
+    // rows ≈ 6 MB at sf1 — one scan split at any maxPartitionBytes)
+    // while the pair scan is O(n²), so without it the whole cross
+    // product runs on one thread (measured 13 min at sf1, ~40 s
+    // repartitioned)
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val a = df.select(col(id).as("id_a"), col(vec).as("va"),
-      l2Norm(col(vec)).as("na"))
+      l2Norm(col(vec)).as("na")).repartition(parts)
     val b = df.select(col(id).as("id_b"), col(vec).as("vb"),
       l2Norm(col(vec)).as("nb"))
     a.join(b, col("id_a") < col("id_b"))

@@ -59,7 +59,11 @@ def rng(name):
 
 
 def write(name, table):
-    pq.write_table(table, out / f"{name}.parquet")
+    # 200k-row row groups: Spark splits a parquet FILE by byte ranges,
+    # but the read granularity is the row group — pyarrow's default
+    # (1M rows) would leave sf1 lineitem with 6 groups and cap scan
+    # parallelism at 6 tasks no matter what maxPartitionBytes says.
+    pq.write_table(table, out / f"{name}.parquet", row_group_size=200_000)
     print(f"{name}: {table.num_rows} rows")
 
 
