@@ -24,9 +24,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def main(sf_dir, out_dir, threads=16, runs=5, json_out=None):
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={threads}")
+    import os
     for t in TABLES:
+        # single file or a directory of part files (multi-file layout)
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf_dir}/{t}.parquet')")
+                    f"read_parquet('{src}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     times = {}
     for name in sorted(oracle):

@@ -31,8 +31,11 @@ Distributions were measured from the driver's sf0.001/0.01/0.1 outputs
   embeddings            20_000*sf   64-dim unit-norm, 10 gaussian
                                     clusters (center + N(0,0.3) noise)
 
-Deterministic: numpy PCG64 seeded 42 per table. Dev tool, driver-side
-python (numpy/pyarrow) — the engine itself never depends on this.
+Deterministic: numpy PCG64 seeded 42+crc32(table) per table. Dev tool,
+driver-side python (numpy/pyarrow) — the engine itself never depends on
+this. Large tables are written as a DIRECTORY `t.parquet/part-*.parquet`
+(up to 32 files) — the layout a 100 TB input actually has; Spark and
+DuckDB (via glob, see oracle_check.py) both read it transparently.
 
 Usage: python3 tools/make_scale_data.py 1 [outdir]
 """
@@ -55,16 +58,39 @@ DAY_US = 86_400_000_000
 
 
 def rng(name):
-    return np.random.Generator(np.random.PCG64(abs(hash((42, name))) % 2**63))
+    # zlib.crc32, not hash(): str hash is salted per-process
+    # (PYTHONHASHSEED), which would silently make "deterministic"
+    # regeneration produce different data each run.
+    import zlib
+    return np.random.Generator(np.random.PCG64(42_000_000 + zlib.crc32(name.encode())))
 
 
 def write(name, table):
-    # 200k-row row groups: Spark splits a parquet FILE by byte ranges,
-    # but the read granularity is the row group — pyarrow's default
-    # (1M rows) would leave sf1 lineitem with 6 groups and cap scan
-    # parallelism at 6 tasks no matter what maxPartitionBytes says.
-    pq.write_table(table, out / f"{name}.parquet", row_group_size=200_000)
-    print(f"{name}: {table.num_rows} rows")
+    # Multi-file layout: `name.parquet` is a DIRECTORY of up to 32 part
+    # files (≥10k rows each) — the honest large-scale layout (100 TB
+    # inputs arrive as many files), and what gives a scan file-level
+    # parallelism instead of leaning on byte-range splitting of one big
+    # file. Small tables stay a single file. Within a file, 200k-row
+    # row groups keep byte splits effective: Spark splits a parquet
+    # file by byte ranges but reads at row-group granularity.
+    n = table.num_rows
+    nfiles = min(32, max(1, n // 10_000))
+    dest = out / f"{name}.parquet"
+    if nfiles == 1:
+        pq.write_table(table, dest, row_group_size=200_000)
+    else:
+        if dest.exists() and dest.is_file():
+            dest.unlink()
+        dest.mkdir(parents=True, exist_ok=True)
+        for f in dest.glob("*.parquet"):
+            f.unlink()
+        per = -(-n // nfiles)  # ceil
+        for i in range(nfiles):
+            part = table.slice(i * per, per)
+            if part.num_rows:
+                pq.write_table(part, dest / f"part-{i:05d}.parquet",
+                               row_group_size=200_000)
+    print(f"{name}: {table.num_rows} rows, {nfiles} file(s)")
 
 
 def ts_us(datestr):

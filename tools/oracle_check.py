@@ -45,9 +45,14 @@ def canon(df: pd.DataFrame) -> str:
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+    import os
     for t in TABLES:
+        # `t.parquet` may be a single file or a directory of part files
+        # (make_scale_data.py's multi-file layout) — glob the latter.
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name in sorted(oracle):
