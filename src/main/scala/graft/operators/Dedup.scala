@@ -127,7 +127,23 @@ object Dedup {
           t => xxhash64(t))).as("toks") +:
         blockKeys.zipWithIndex.map { case (c, i) => c.as(s"bk$i") }): _*)
       .withColumn("n_toks", size(col("toks")))
-    val (a, b, keyCond) = TrianglePairs.salted(docs, "doc_id", keys, chunks)
+    // Second blocking key: token-count log-bucket, width 1/threshold.
+    // jaccard >= t forces min(na,nb)/max(na,nb) >= t, so qualifying
+    // pairs sit in the same or adjacent buckets — saltedAdjacent makes
+    // that part of the join's EQUI key, so the quadratic in-block
+    // candidate enumeration (the one super-linear cost left at sf3)
+    // skips non-adjacent-size pairs instead of generating them for the
+    // ratio predicate to kill. Threshold edges: t >= 1 degenerates to
+    // exact-size buckets; t <= 0 admits every ratio, so everything
+    // lands in one bucket and the key is a no-op — both still exact.
+    val bucket =
+      if (threshold >= 1.0) greatest(col("n_toks"), lit(1))
+      else if (threshold <= 0.0) lit(0L)
+      else floor(
+        log(greatest(col("n_toks"), lit(1)).cast("double")) /
+          math.log(1.0 / threshold))
+    val (a, b, keyCond) =
+      TrianglePairs.saltedAdjacent(docs, "doc_id", keys, bucket, chunks)
     // size-ratio prefilter: jaccard <= min(na,nb)/max(na,nb), so pairs
     // whose token counts differ by more than the threshold ratio can
     // never qualify — pruning them in the join changes nothing in the

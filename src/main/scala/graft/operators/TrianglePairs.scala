@@ -70,4 +70,49 @@ object TrianglePairs {
     */
   def orderedOnce(aId: Column, bId: Column): Column =
     col("a.__chunk") =!= col("b.__chunk") || aId < bId
+
+  /** [[salted]] plus a numeric ADJACENCY bucket in the equi key: side
+    * `a` carries `__bkt = bucket`, side `b` probes `{__bkt-1, __bkt,
+    * __bkt+1}`, so the hash/sort-merge join only ever ENUMERATES pairs
+    * whose buckets differ by at most one — non-adjacent candidates are
+    * skipped by the join's key hashing instead of being generated and
+    * then killed by a predicate. Exact whenever the caller's pair
+    * predicate implies a bounded bucket difference: e.g. Jaccard >= t
+    * bounds the token-count ratio by t, so floor(log(n)/log(1/t))
+    * buckets of qualifying pairs differ by <= 1 (pinned exhaustively in
+    * TrianglePairsSpec). Cost: 3x replication of the (compact,
+    * un-repartitioned) `b` side; a blocked pair scan is quadratic in
+    * candidates, so trading x3 linear shuffle rows for a multiplicative
+    * candidate cut is the right side of the inequality at any scale.
+    *
+    * Pair uniqueness is unchanged: the chunk-triangle fixes each
+    * pair's a/b orientation (same-chunk pairs via [[orderedOnce]]),
+    * and within an orientation the three probe values are distinct,
+    * so a pair matches exactly one (`a.__bkt`, `b.__probe`) key.
+    */
+  def saltedAdjacent(rows: DataFrame, idCol: String, blockCols: Seq[String],
+                     bucket: Column, chunks: Int)
+      : (DataFrame, DataFrame, Column) = {
+    require(chunks >= 1, "chunks must be >= 1")
+    val chunked = rows
+      .withColumn("__bkt", bucket.cast("long"))
+      .withColumn("__chunk",
+        pmod(xxhash64(col(idCol)), lit(chunks)).cast("int"))
+    val shuffleParts = rows.sparkSession.sessionState.conf.numShufflePartitions
+    val a = chunked
+      .withColumn("__cb", explode(sequence(col("__chunk"), lit(chunks - 1))))
+      .repartition(shuffleParts,
+        (blockCols.map(col) :+ col("__bkt") :+ col("__chunk") :+ col("__cb")): _*)
+      .as("a")
+    val b = chunked
+      .withColumn("__ca", explode(sequence(lit(0), col("__chunk"))))
+      .withColumn("__probe", explode(array(
+        col("__bkt") - 1, col("__bkt"), col("__bkt") + 1)))
+      .as("b")
+    val keyCond = (blockCols.map(k => col(s"a.$k") === col(s"b.$k")) :+
+      (col("a.__bkt") === col("b.__probe")) :+
+      (col("a.__chunk") === col("b.__ca")) :+
+      (col("a.__cb") === col("b.__chunk"))).reduce(_ && _)
+    (a, b, keyCond)
+  }
 }
