@@ -11,18 +11,29 @@ import org.apache.spark.sql.functions._
   * (e.g. `WITH RECURSIVE`) needs.
   *
   * Scale posture: the per-round self-join shuffles only on the node /
-  * ancestor key, each round is one job (`localCheckpoint` flattens
-  * lineage — without it the self-referencing plan tree doubles per
-  * round), and round count grows with log(depth), not depth. For a
-  * BOM / org-chart / part-ancestry walk on a 1000-executor cluster,
-  * depth-proportional JOB LAUNCHES are the real cost this removes:
-  * a depth-60 hierarchy costs 6 rounds, not 60.
+  * ancestor key, rounds grow with log(depth) — not depth, not data —
+  * and `localCheckpoint` every `checkpointInterval` rounds keeps the
+  * self-referencing plan tree bounded. For a BOM / org-chart /
+  * part-ancestry walk on a 1000-executor cluster, depth-proportional
+  * JOB LAUNCHES are the real cost this removes: a depth-60 hierarchy
+  * costs 6 rounds, not 60.
+  *
+  * Why DataFrame rounds and not an RDD loop: both were built and
+  * measured at sf1 (200k-edge walk, 6 rounds). The SQL formulation
+  * pays per-round planning + AQE stage scheduling (~0.35 s/round
+  * here); a hash-partitioned pair-RDD loop removes that but pays
+  * Java-object tuple serialization in every shuffle instead of
+  * Tungsten's UnsafeRow — measured 7.3 s vs 2.4 s for the identical
+  * walk. The object-churn tax grows with DATA while the scheduling
+  * tax is constant, so the Tungsten rounds are the right side at
+  * scale, and the residual constant amortizes exactly where rounds
+  * get expensive.
   *
   * Semantics match the recursive-CTE walk from the root: a node is
   * labeled iff its whole parent chain exists in `edges` and reaches
   * `rootKey`; nodes with broken chains (a missing ancestor) drop out,
   * and a cycle can never finish — both leave active rows, which the
-  * convergence `require` reports rather than silently mislabeling.
+  * convergence guard reports rather than silently mislabeling.
   */
 object PointerDoubling {
 
@@ -32,30 +43,29 @@ object PointerDoubling {
     * the root at depth 0.
     *
     * `knownMaxDepth`: when the caller can bound the depth cheaply
-    * (e.g. bit-length of the max key for a halving hierarchy), the
-    * loop runs exactly ceil(log2 bound) rounds with NO per-round
-    * convergence job — one job per round instead of two. Since
-    * 2^plannedRounds >= bound, every chain within the bound has
-    * provably converged, so no post-loop emptiness job runs either:
-    * an in-plan row-level guard (`assert_true` in the output filter)
-    * throws on the caller's first action if a cycle or a wrong bound
-    * left an unconverged row — loud failure at zero extra jobs.
-    * Unbounded callers leave it None and pay a cheap emptiness probe
-    * on each round's checkpointed state, plus a `require` when
-    * `maxIters` runs out.
+    * (for a halving hierarchy over long keys, 63 with zero data
+    * inspection), the loop runs exactly ceil(log2 bound) rounds with
+    * NO per-round convergence job. Since 2^plannedRounds >= bound,
+    * every chain within the bound has provably converged, so no
+    * post-loop emptiness job runs either: an in-plan row-level guard
+    * (`assert_true` in the output filter) throws on the caller's
+    * first action if a cycle or a wrong bound left an unconverged
+    * row — loud failure at zero extra jobs. Unbounded callers leave
+    * it None and pay a cheap emptiness probe on each round's
+    * checkpointed state, plus a `require` when `maxIters` runs out.
     *
     * `checkpointInterval`: checkpoint the state every k rounds
     * instead of every round (the final round never checkpoints — its
     * output flows straight into the caller's action). Each
-    * unmaterialized round references the previous state ~3x, so the
-    * read amplification of the last checkpointed state is 3^k — keep
-    * the default 1 when the edge set is large; a floor-bound caller
-    * on modest data can pass 2 to halve the job count.
+    * unmaterialized round references the previous state twice, so the
+    * read amplification of the last checkpointed state is 2^k — keep
+    * small (2-3) when the edge set is large; the default 2 measured
+    * best across sf0.1/sf1 (job floor vs re-read, PLANS.md "q96").
     */
   def depths(edges: DataFrame, key: Column, parent: Column,
              rootKey: Long, maxIters: Int = 20,
              knownMaxDepth: Option[Long] = None,
-             checkpointInterval: Int = 1): DataFrame = {
+             checkpointInterval: Int = 2): DataFrame = {
     require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
     val root = lit(rootKey)
     // state invariant: `anc` is an ancestor of `key` at exact distance
@@ -63,9 +73,10 @@ object PointerDoubling {
     val rootRow = edges.sparkSession.range(1)
       .select(root.as("key"), root.as("anc"), lit(0L).as("d"))
     // deliberately NOT checkpointed: the distance-1 state is one cheap
-    // scan; round 1 reads it twice and produces the first materialized
-    // state, saving a whole job. Rounds 2+ must checkpoint — the
-    // self-referencing compose doubles the plan tree per round.
+    // scan; the first rounds read it through the plan, and the first
+    // checkpoint materializes their composition in one job (an eager
+    // base checkpoint was measured neutral-to-worse at sf1 — the extra
+    // job costs what the saved re-scans buy back)
     var st = edges
       .select(key.cast("long").as("key"), parent.cast("long").as("anc"),
         lit(1L).as("d"))
@@ -82,15 +93,25 @@ object PointerDoubling {
     var i = 0
     val rounds = plannedRounds.getOrElse(maxIters)
     while (active && i < rounds) {
-      val done = st.filter(col("anc") === root)
       // jump: replace each active row's ancestor with that ancestor's
-      // OWN tracked ancestor, adding the distances — the inner join
-      // also drops nodes whose chain leaves the relation (CTE parity)
-      val jumped = st.filter(col("anc") =!= root).as("s")
-        .join(st.as("a"), col("s.anc") === col("a.key"))
-        .select(col("s.key").as("key"), col("a.anc").as("anc"),
-          (col("s.d") + col("a.d")).as("d"))
-      st = done.union(jumped)
+      // OWN tracked ancestor, adding the distances. ONE left self-join
+      // carries done rows through (join condition is false for them, so
+      // they pass unmatched) and drops active rows whose chain leaves
+      // the relation (unmatched-and-active ⇒ broken chain — CTE
+      // parity). Compared to the textbook done ∪ (active ⨝ st) form
+      // this references the prior state TWICE, not three times, so m
+      // unmaterialized rounds expand the plan 2^m-fold instead of
+      // 3^m-fold — cheaper rounds AND affordable sparse checkpointing.
+      // Key uniqueness (one row per key, so the left join is 1:≤1 and
+      // never duplicates) is the state invariant: it holds initially
+      // (one row per child + the root) and each round maps keys 1:1.
+      st = st.as("s")
+        .join(st.as("a"),
+          col("s.anc") === col("a.key") && col("s.anc") =!= root, "left")
+        .filter(col("s.anc") === root || col("a.key").isNotNull)
+        .select(col("s.key").as("key"),
+          coalesce(col("a.anc"), col("s.anc")).as("anc"),
+          (col("s.d") + coalesce(col("a.d"), lit(0L))).as("d"))
       i += 1
       // bounded mode skips the checkpoint on off-interval rounds AND
       // on the final round (that state is consumed exactly once, by

@@ -322,24 +322,18 @@ object IncrementalQueries extends Catalog {
     Q("q96_recursive_cte",
       (s, dir) => {
         val part = Tables.load(s, dir, "part")
-        // halving hierarchy ⇒ depth ≤ bit-length of the max key; one
-        // tiny agg job buys a fixed round count (no per-round
-        // convergence jobs inside the operator)
-        val maxKey = part.agg(max(col("p_partkey")).cast("long")).head.getLong(0)
-        // checkpointInterval=2: the part hierarchy is small relative
-        // to the per-job floor, so halving the checkpoint jobs (and
-        // letting the last rounds fold into the caller's action)
-        // matters more than the ~3x re-read of the cached state
-        // (measured 1-vs-2 at sf0.1 and sf1 — PLANS.md "q96" table;
-        // the env knob exists only to re-run that A/B)
+        // halving hierarchy over LONG keys ⇒ depth <= 63, with zero
+        // data inspection. The tighter bit-length-of-max-key bound
+        // needs a full-scan agg JOB first, and ceil(log2 63) = 6
+        // rounds vs 5 for the measured bound — one extra (cheap,
+        // unmaterialized) self-compose is cheaper than one extra job
+        // launch, which is exactly the floor this query is bound by.
         graft.operators.PointerDoubling.depths(
             part.filter(col("p_partkey") > 0),
             col("p_partkey"),
             floor(col("p_partkey") / 2.0).cast("long"),
             rootKey = 0L,
-            knownMaxDepth = Some(64L - java.lang.Long.numberOfLeadingZeros(maxKey)),
-            checkpointInterval =
-              sys.env.get("SPARK_GRAFT_Q96_CKPT").map(_.toInt).getOrElse(2))
+            knownMaxDepth = Some(63L))
           .groupBy(col("depth"))
           .agg(count(lit(1)).as("n"),
             min(col("key")).as("min_key"), max(col("key")).as("max_key"))

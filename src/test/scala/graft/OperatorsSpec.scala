@@ -95,7 +95,7 @@ class OperatorsSpec extends SparkSpec {
     // trusted bound + sparse checkpoints: identical labels to the
     // probe-per-round path, at roughly half the job count
     val got = PointerDoubling.depths(edges, $"k", $"p", rootKey = 0L,
-        knownMaxDepth = Some(50L), checkpointInterval = 2)
+        knownMaxDepth = Some(50L))
       .as[(Long, Long)].collect().toMap
     assert(got == (0L to 50L).map(k => k -> k).toMap)
     // a WRONG bound must not silently mislabel: the zero-job
