@@ -182,6 +182,86 @@ case class SortedIntersectCountLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Threshold-aware merge-scan intersection over pre-sorted long arrays
+  * — the verify step of a Jaccard similarity join, with the two
+  * optimizations the plain count can't have:
+  *
+  *  - REAL codegen (`doGenCode`), not `CodegenFallback`: the merge loop
+  *    runs on 10^8-10^9 candidate pairs in a blocked similarity join,
+  *    and interpreted ArrayData eval with boxing was the dominant
+  *    per-pair constant.
+  *  - positional early exit (PPJoin-style): jaccard >= t needs
+  *    inter*(1+t) >= t*(na+nb); once even matching EVERY remaining
+  *    element can't reach that, the scan aborts and returns -1, which
+  *    makes the caller's computed jaccard negative — below any
+  *    positive threshold, so pruned pairs self-filter with no extra
+  *    predicate. The abort margin is 0.5 absolute: candidate counts
+  *    are integers, fp error here is <1e-6, so the margin can only
+  *    FORGO pruning near the boundary, never prune a true qualifier
+  *    (the final jaccard filter stays the decider either way).
+  */
+case class SortedIntersectAtLeastLong(
+    left: Expression, right: Expression, threshold: Double)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_at_least_long"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var cnt = 0
+    val na = a.numElements(); val nb = b.numElements()
+    val need = threshold * (na + nb) - 0.5
+    val onePlusT = 1.0 + threshold
+    while (i < na && j < nb) {
+      val rem = math.min(na - i, nb - j)
+      if ((cnt + rem) * onePlusT < need) { cnt = -1; i = na }
+      else {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { cnt += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+    }
+    cnt
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt"); val rem = ctx.freshName("rem")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val need = ctx.freshName("need")
+      s"""
+         |int $i = 0, $j = 0, $cnt = 0;
+         |final int $na = $a.numElements();
+         |final int $nb = $b.numElements();
+         |final double $need = $threshold * ($na + $nb) - 0.5;
+         |while ($i < $na && $j < $nb) {
+         |  final int $rem = ($na - $i < $nb - $j) ? ($na - $i) : ($nb - $j);
+         |  if (($cnt + $rem) * (1.0 + $threshold) < $need) {
+         |    $cnt = -1; break;
+         |  }
+         |  final long $x = $a.getLong($i);
+         |  final long $y = $b.getLong($j);
+         |  if ($x == $y) { $cnt++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectAtLeastLong =
+    copy(left = newLeft, right = newRight)
+}
+
 object CustomExpressions {
   /** Column wrapper: all k minhash digests over the shingles of a
     * token array column. */
@@ -196,4 +276,9 @@ object CustomExpressions {
     * arrays (hashed-token fast path). */
   def sortedIntersectCountLong(a: Column, b: Column): Column =
     toColumn(SortedIntersectCountLong(toExpression(a), toExpression(b)))
+
+  /** Column wrapper: codegen'd, threshold-early-exit intersection count
+    * (returns -1 once jaccard >= t is unreachable). */
+  def sortedIntersectAtLeastLong(a: Column, b: Column, t: Double): Column =
+    toColumn(SortedIntersectAtLeastLong(toExpression(a), toExpression(b), t))
 }

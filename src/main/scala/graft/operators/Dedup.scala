@@ -153,8 +153,12 @@ object Dedup {
       (col("a.n_toks").cast("double") >= col("b.n_toks") * threshold) &&
       (col("b.n_toks").cast("double") >= col("a.n_toks") * threshold)
     a.join(b, joinCond)
+      // threshold-aware intersect: codegen'd merge scan that aborts
+      // (returning -1, hence a negative jaccard that self-filters)
+      // once the remaining elements can't reach the threshold — the
+      // per-candidate constant is the whole cost of the verify phase
       .withColumn("inter",
-        sortedIntersectCountLong(col("a.toks"), col("b.toks")))
+        sortedIntersectAtLeastLong(col("a.toks"), col("b.toks"), threshold))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("a.n_toks") + col("b.n_toks") - col("inter")).cast("double"))

@@ -222,4 +222,37 @@ class CustomExpressionsSpec extends SparkSpec {
       .orderBy($"t1", $"t2").collect().toSeq
     assert(exprCounts == joinCounts)
   }
+
+  test("SortedIntersectAtLeastLong: codegen early exit never flips the threshold verdict") {
+    // random sorted-distinct long arrays; for every pair the early-exit
+    // expression must (a) return the exact count whenever the pair
+    // qualifies at t, and (b) return a value that makes the computed
+    // jaccard < t whenever it doesn't — i.e. pruning can never change
+    // the qualify set. Includes boundary pairs at jaccard == t exactly
+    // (4-of-5 overlap at t = 0.8) and empty arrays.
+    val rnd = new scala.util.Random(7)
+    val arrays = (Seq(
+      Seq.empty[Long], Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 3L, 4L, 5L)) ++
+      (1 to 40).map(_ =>
+        (1 to (1 + rnd.nextInt(30))).map(_ => rnd.nextInt(40).toLong)
+          .distinct.sorted.toSeq)).zipWithIndex
+    val t = 0.8
+    val df = arrays.map { case (a, i) => (i.toLong, a) }.toDF("id", "toks")
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        sortedIntersectCountLong(col("a.toks"), col("b.toks")).as("full"),
+        sortedIntersectAtLeastLong(col("a.toks"), col("b.toks"), t).as("fast"),
+        size(col("a.toks")).as("na"), size(col("b.toks")).as("nb"))
+      .collect()
+    pairs.foreach { r =>
+      val (full, fast) = (r.getInt(2), r.getInt(3))
+      val (na, nb) = (r.getInt(4), r.getInt(5))
+      def j(c: Int) = if (na + nb - c == 0) 1.0 else c.toDouble / (na + nb - c)
+      if (j(full) >= t)
+        assert(fast == full, s"qualifying pair lost: $r")
+      else
+        assert(fast == full || (fast == -1 && j(-1) < t), s"bad prune: $r")
+    }
+    assert(pairs.exists(r => r.getInt(3) == -1), "early exit never fired")
+  }
 }
