@@ -35,4 +35,25 @@ object SparkEntry {
 
   /** Names of headline queries for Bench (subset of queries). */
   def benchQueries: Seq[String] = allQueries.filter(_.bench).map(_.name)
+
+  /** The standing sf1 re-verification family (tools/sf1_gate.sh →
+    * CORRECTNESS_sf1_r{N}.json): every scale-sensitive operator whose
+    * DuckDB oracle COMPLETES at sf1 in bounded time — dedup,
+    * similarity/ANN, text-pipeline, sketch, and iterative families.
+    * q45/q94 (DuckDB >620 s, killed) and q47/q103 (recursive-CTE
+    * oracle, 365 s) are excluded here and covered by the sf0.01 gate
+    * plus their PLANS.md plan audits; Verify expands the name
+    * `@scale` in SPARK_GRAFT_VERIFY_ONLY to this list.
+    */
+  val scaleFamily: Seq[String] = Seq(
+    "q40_dedup_exact", "q41_dedup_fingerprint", "q42_minhash_signatures",
+    "q43_minhash_lsh_pairs", "q44_simhash", "q46_range_join_bucketed",
+    "q48_hash_sample", "q49_stratified_sample", "q50_ann_bruteforce",
+    "q51_ann_lsh", "q52_embedding_near_dup", "q53_vector_stats",
+    "q55_quantize", "q57_near_dup_blocked", "q68_ann_lsh_multiprobe",
+    "q69_tfidf_topterms", "q71_pii_scrub", "q72_repetition", "q75_vocab",
+    "q76_kmv_distinct", "q77_heavy_hitters", "q78_chunk_dedup",
+    "q83_decontam", "q84_unigram_lm", "q86_scd2", "q89_gap_fill",
+    "q90_session_window", "q96_recursive_cte", "q99_cooccurrence",
+    "q104_approx_distinct_gate")
 }

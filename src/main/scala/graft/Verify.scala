@@ -10,10 +10,14 @@ object Verify {
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Dev-only subset filter (comma-separated names) for fast local
-    // iteration on one oracle; the driver never sets it.
+    // Dev-only subset filter (comma-separated names; "@scale" expands
+    // to SparkEntry.scaleFamily) for fast local iteration on one
+    // oracle and for the standing sf1 gate; the driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).flatMap {
+        case "@scale" => SparkEntry.scaleFamily
+        case n        => Seq(n)
+      }.toSet)
     val selected = SparkEntry.queries.filter {
       case (name, _) => only.forall(_.contains(name))
     }

@@ -15,10 +15,16 @@ import org.apache.spark.sql.functions._
   * Spark's CSV writer emits no BOM and leaves nulls unquoted, so the
   * data is written distributed to a temp dir (nulls pre-coalesced to ""
   * so quoteAll quotes them like pandas does), then concatenated behind
-  * a driver-side stream that prepends BOM + quoted header. The
-  * single-file concat is inherently serial — same as the reference —
-  * and is meant for catalog-sized outputs; large outputs should use
-  * `df.write.csv` directly (multi-part, no BOM) instead.
+  * a driver-side stream that prepends BOM + quoted header.
+  *
+  * Multi-part inputs are first-class: part files are concatenated in
+  * name order, and because an `orderBy`'d frame is RANGE partitioned
+  * (part-00000 = lowest key range, ascending), a sorted frame stays
+  * globally sorted in the merged file — pinned in BomCsvSinkSpec. The
+  * distributed WRITE therefore scales with the cluster; only the final
+  * byte concat is serial, same as any single-file delivery, and
+  * streams part-by-part without buffering. Outputs that need not be
+  * one file should use `df.write.csv` directly.
   */
 object BomCsvSink {
 

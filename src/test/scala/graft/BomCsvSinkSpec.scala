@@ -32,6 +32,29 @@ class BomCsvSinkSpec extends SparkSpec {
     assert(ids == (0 until 997).toSet)
   }
 
+  test("sorted multi-partition write preserves global order through part concat") {
+    // an orderBy'd frame is RANGE partitioned: part-00000 holds the
+    // lowest key range, part-00001 the next, ... — so concatenating
+    // part files in name order (what write() does) yields a globally
+    // sorted single file. This is the contract that lets a LARGE
+    // consolidated export stay ordered without a single-partition
+    // bottleneck before the (inherently serial) concat.
+    // repartitionByRange + sortWithinPartitions is the same physical
+    // layout orderBy produces, with the partition count pinned so AQE
+    // can't coalesce this small fixture down to one partition
+    val df = (0 until 5000).map(i => (i * 7919 % 5000, s"r$i"))
+      .toDF("k", "v").repartitionByRange(5, $"k").sortWithinPartitions($"k")
+    assert(df.rdd.getNumPartitions > 1, "fixture must exercise >1 partition")
+    val out = Files.createTempDirectory("sink").resolve("sorted.csv").toString
+    BomCsvSink.write(df, out)
+    val text = new String(Files.readAllBytes(Paths.get(out)).drop(3),
+      StandardCharsets.UTF_8)
+    val keys = text.split("\n").filter(_.nonEmpty).drop(1)
+      .map(_.split(";")(0).replace("\"", "").toInt).toSeq
+    assert(keys.length == 5000)
+    assert(keys == keys.sorted, "part-file concat broke the global order")
+  }
+
   test("null cells render as quoted-empty like pandas QUOTE_ALL") {
     val df = Seq((1, Option.empty[String]), (2, Some("x"))).toDF("id", "v")
     val out = Files.createTempDirectory("sink").resolve("n.csv").toString

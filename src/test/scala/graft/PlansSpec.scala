@@ -71,8 +71,13 @@ class PlansSpec extends SparkSpec {
     // the size-ratio prefilter + sorted-hash intersect must be part
     // of the join itself so non-qualifying pairs die in the join
     val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
-    assert(joinLines.exists(_.contains("sorted_intersect_count")),
+    assert(joinLines.exists(_.contains("sorted_intersect_at_least_long")),
       s"intersect threshold left the join condition:\n$p")
+    // the adjacency bucket must be an EQUI key (left of the condition
+    // list), not a filter — that's what skips non-adjacent candidates
+    assert(joinLines.exists(l =>
+      l.contains("__bkt") && l.contains("__probe")),
+      s"adjacency bucket left the equi key:\n$p")
   }
 
   test("q45/q57: salted pair scan keeps its fixed-count task repartition") {

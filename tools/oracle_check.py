@@ -7,7 +7,11 @@ row-count, schema (column names), and a canonical value hash — the same
 spirit as the driver's CORRECTNESS_r{N}.json. Dev tool only; the Scala
 engine has no dependency on this.
 
-Usage: oracle_check.py <sfDir> <verifyOutDir>
+Usage: oracle_check.py <sfDir> <verifyOutDir> [jsonOut]
+
+With jsonOut, also writes a CORRECTNESS_r{N}.json-shaped artifact
+(per-query rows/schema/hash match + row counts) so scale-point gates
+(tools/sf1_gate.sh) commit the same artifact shape the driver does.
 """
 import json
 import sys
@@ -43,7 +47,8 @@ def canon(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
+    results = {}
     con = duckdb.connect()
     import os
     for t in TABLES:
@@ -60,6 +65,8 @@ def main(sf_dir: str, out_dir: str) -> int:
         if not files:
             print(f"FAIL {name}: no spark output")
             failures += 1
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "err": "no spark output"}
             continue
         got = pq.ParquetDataset(files).read().to_pandas()
         try:
@@ -67,6 +74,8 @@ def main(sf_dir: str, out_dir: str) -> int:
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
             failures += 1
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "err": f"oracle error {e}"}
             continue
         problems = []
         if sorted(got.columns) != sorted(want.columns):
@@ -87,9 +96,18 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
             print(f"ok   {name} ({len(got)} rows)")
+        results[name] = {
+            "rows_match": len(got) == len(want),
+            "schema_match": sorted(got.columns) == sorted(want.columns),
+            "hash_match": not problems,
+            "spark_rows": len(got), "oracle_rows": len(want),
+            "err": "; ".join(problems) if problems else None}
     print(f"\n{len(oracle) - failures}/{len(oracle)} queries match")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=2, sort_keys=True)
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(*sys.argv[1:4]))
