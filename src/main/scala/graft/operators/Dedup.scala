@@ -178,15 +178,19 @@ object Dedup {
     * the same fixpoint by a different route.
     *
     * Scale: each round is one equi-join (edges ⨝ labels on the vertex)
-    * + one min-groupBy — both shuffles keyed by vertex id — and labels
-    * converge in graph-diameter rounds (dup clusters are shallow:
-    * near-dup graphs are cliquish, diameter 2-4 in practice).
-    * `localCheckpoint` per round keeps lineage flat; the prior round's
-    * blocks are freed as soon as the next materializes. The classic
-    * large-star/small-star rewrite is the drop-in upgrade if a corpus
-    * ever produces deep chains. Throws if `maxIters` rounds don't
-    * converge — a silently unconverged labeling would be
-    * nondeterministic, which is worse than loud.
+    * + one min-groupBy, then a label-jump self-join
+    * (component(v) := component(component(v)) — path compression on the
+    * label forest). All shuffles are keyed by vertex id. The jump is
+    * what makes this survive deep chains: propagate-only needs
+    * graph-diameter rounds (a templated-spam chain at corpus scale can
+    * be thousands deep — sf3's regenerated corpus already exceeded 25),
+    * propagate+jump needs O(log diameter). Cliquish near-dup graphs
+    * (diameter 2-4) still converge in 2-3 rounds, now paying one extra
+    * small join each. `localCheckpoint` per round keeps lineage flat;
+    * the prior round's blocks are freed as soon as the next
+    * materializes. Throws if `maxIters` rounds don't converge — a
+    * silently unconverged labeling would be nondeterministic, which is
+    * worse than loud.
     */
   def connectedComponents(vertices: DataFrame, id: Column,
                           pairs: DataFrame, src: Column, dst: Column,
@@ -201,12 +205,28 @@ object Dedup {
     var i = 0
     while (!converged && i < maxIters) {
       // each vertex keeps the min of its own label and its neighbors'
-      val next = labels
+      // materialized before the self-join below: joining a plan that
+      // still contains the union with itself trips Catalyst's
+      // constraint rewrite on shared attribute ids; a flat LogicalRDD
+      // self-join is unambiguous
+      val prop = labels
         .union(edges.join(labels, edges("dst") === labels("v"))
           .select(edges("src").as("v"), col("component")))
         .groupBy(col("v"))
         .agg(min(col("component")).as("component"))
         .localCheckpoint()
+      // label jump: every label value is itself a vertex id, so
+      // component∘component is defined; chasing one level per round
+      // doubles the effective propagation distance (O(log d) rounds).
+      // Monotone (labels only decrease) and stable at the propagation
+      // fixpoint (component(m) = m for a component min m), so the
+      // converged labeling — and the oracle — are unchanged.
+      val next = prop.as("a")
+        .join(prop.as("b"), col("a.component") === col("b.v"), "left")
+        .select(col("a.v"),
+          coalesce(col("b.component"), col("a.component")).as("component"))
+        .localCheckpoint()
+      prop.unpersist()
       converged = next.as("n")
         .join(labels.as("p"), col("n.v") === col("p.v"))
         .filter(col("n.component") =!= col("p.component"))

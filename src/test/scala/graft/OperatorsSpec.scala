@@ -40,19 +40,22 @@ class OperatorsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
-  test("connectedComponentsStar converges on the deep chain that breaks min-label") {
-    // a 60-vertex path: diameter 59. Min-label propagation needs ~59
-    // rounds (trips its maxIters=25 require); star contraction is
-    // O(log n) and labels the whole chain with component 1 well inside
-    // its default bound.
+  test("both components variants converge on a deep chain in log rounds") {
+    // a 60-vertex path: diameter 59. Propagate-only min-label would
+    // need ~59 rounds; the label-jump makes it O(log d), so BOTH
+    // variants must label the whole chain with component 1 well inside
+    // their default bounds (sf3's regenerated corpus produced a real
+    // >25-diameter component, so this is the scale-critical property).
     val vertices = (1L to 60L).toDF("id")
     val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("a", "b")
-    intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(vertices, $"id", pairs, $"a", $"b")
-    }
+    val want = (1L to 60L).map(_ -> 1L).toMap
+    val minLabel = Dedup.connectedComponents(vertices, $"id", pairs, $"a", $"b",
+        maxIters = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(minLabel == want)
     val got = Dedup.connectedComponentsStar(vertices, $"id", pairs, $"a", $"b")
       .as[(Long, Long)].collect().toMap
-    assert(got == (1L to 60L).map(_ -> 1L).toMap)
+    assert(got == want)
   }
 
   test("connectedComponentsStar handles the edgeless graph") {
