@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions.tokenCount
+import graft.operators.Packing
+
+/** Training-data assembly surface: the steps between a cleaned corpus
+  * and what a trainer actually reads — sequence packing into fixed
+  * context windows, and deterministic engine-neutral sharding for the
+  * global shuffle. Both are oracled like every other query; the
+  * packing prefix sum is the distributed two-level form
+  * (operators/Packing.scala), never a corpus-wide single partition.
+  */
+object TrainingQueries extends Catalog {
+
+  private val ws = graft.functions.TextFunctions.wsClass
+  private val duckToks = s"regexp_split_to_array(trim(text), '$ws+')"
+
+  /** Context-window token budget for q105. */
+  private val PackBudget = 512
+
+  /** q105 bucket width — small so the multi-bucket decomposition is
+    * exercised even at the sf0.01 gate (4 buckets there, ~400 at sf1);
+    * the operator default (1M) is the 100 TB setting. */
+  private val PackBucket = 128L
+
+  override val queries: Seq[Q] = Seq(
+
+    // Sequence packing (concat-and-chunk): documents in doc_id order
+    // are laid into one token stream, cut every `PackBudget` tokens; a
+    // doc belongs to the window its START offset falls in. Spark side
+    // is the distributed prefix sum; the oracle is the literal
+    // single-window cumsum — integer arithmetic, so they agree bit-for
+    // -bit and the oracle doubles as the decomposition proof.
+    Q("q105_seq_pack",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Packing.packByTokenBudget(docs, col("doc_id"),
+            tokenCount(col("text")), PackBudget, PackBucket)
+          .groupBy(col("window_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("tokens_begun"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(col("window_id"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id,
+              |    CAST(len($duckToks) AS BIGINT) AS n_tok
+              |  FROM documents),
+              |c AS (
+              |  SELECT doc_id, n_tok,
+              |    COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |      0) AS st
+              |  FROM t)
+              |SELECT CAST(FLOOR(st / $PackBudget) AS BIGINT) AS window_id,
+              |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(n_tok) AS BIGINT) AS tokens_begun,
+              |  MIN(doc_id) AS first_doc,
+              |  MAX(doc_id) AS last_doc
+              |FROM c GROUP BY window_id
+              |ORDER BY window_id""".stripMargin)),
+
+    // Deterministic global shuffle + sharding: shard = first md5 hex
+    // byte of the doc id (256 shards), shuffle order = the full
+    // digest. md5 is bit-identical across engines (unlike either
+    // engine's native hash()), so the assignment is reproducible
+    // anywhere — the property a training run needs to resume or
+    // re-materialize a shard. Map-only until the per-shard agg; the
+    // balance stats (count, payload bytes) are what an operator
+    // watches for hot shards.
+    Q("q106_det_shard",
+      (s, dir) => {
+        val key = md5(col("doc_id").cast("string"))
+        Tables.load(s, dir, "documents")
+          .select(substring(key, 1, 2).as("shard"), key.as("k"),
+            col("n_chars"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            min(col("k")).as("first_key"),
+            max(col("k")).as("last_key"))
+          .orderBy(col("shard"))
+      },
+      Some("""SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |  MIN(md5(CAST(doc_id AS VARCHAR))) AS first_key,
+             |  MAX(md5(CAST(doc_id AS VARCHAR))) AS last_key
+             |FROM documents GROUP BY shard
+             |ORDER BY shard""".stripMargin))
+  )
+}
