@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions.tokenCount
-import graft.operators.Packing
+import graft.operators.{Mixture, Packing}
 
 /** Training-data assembly surface: the steps between a cleaned corpus
   * and what a trainer actually reads — sequence packing into fixed
@@ -25,6 +25,15 @@ object TrainingQueries extends Catalog {
     * exercised even at the sf0.01 gate (4 buckets there, ~400 at sf1);
     * the operator default (1M) is the 100 TB setting. */
   private val PackBucket = 128L
+
+  /** q107 target mixture — three sources, downsample-only. */
+  private val MixShares: Seq[(String, Double)] =
+    Seq("src3" -> 0.45, "src7" -> 0.35, "src11" -> 0.2)
+  private def MixSharesSql: String = MixShares
+    .map { case (g, s) => s"WHEN '$g' THEN CAST($s AS DOUBLE)" }
+    .mkString(" ")
+  private def MixSourcesSql: String =
+    MixShares.map(p => s"'${p._1}'").mkString(", ")
 
   override val queries: Seq[Q] = Seq(
 
@@ -91,6 +100,62 @@ object TrainingQueries extends Catalog {
              |  MIN(md5(CAST(doc_id AS VARCHAR))) AS first_key,
              |  MAX(md5(CAST(doc_id AS VARCHAR))) AS last_key
              |FROM documents GROUP BY shard
-             |ORDER BY shard""".stripMargin))
+             |ORDER BY shard""".stripMargin)),
+
+    // Source-mixture resampling (operators/Mixture.scala): thin the
+    // corpus so surviving tokens split 45/35/20 across three sources,
+    // downsampling only — the binding source (the one whose target
+    // share is largest relative to its actual tokens) keeps rate 1.
+    // The oracle rebuilds the identical double-arithmetic rate
+    // expression (CAST AS DOUBLE matters: DuckDB's bare 0.45 is a
+    // DECIMAL and would divide on a different grid), so the integer
+    // md5 thresholds — and therefore the exact surviving doc set —
+    // match bit-for-bit.
+    Q("q107_mixture_resample",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("n_tok", tokenCount(col("text")).cast("long"))
+        Mixture.resampleToShares(docs, col("doc_id"), col("source"),
+            col("n_tok"), MixShares)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("tokens_kept"),
+            round(max(col("mix_rate")), 6).as("rate"),
+            min(col("doc_id")).as("first_doc"))
+          .withColumn("achieved_share",
+            round(col("tokens_kept")
+              / sum(col("tokens_kept")).over(), 6))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, source,
+              |    CAST(len($duckToks) AS BIGINT) AS n_tok
+              |  FROM documents),
+              |t AS (
+              |  SELECT source AS g, CAST(SUM(n_tok) AS BIGINT) AS tok,
+              |    CASE source $MixSharesSql END AS w
+              |  FROM d WHERE source IN ($MixSourcesSql)
+              |  GROUP BY source),
+              |f AS (SELECT g, tok, w, MIN(tok / w) OVER () AS t_feas
+              |  FROM t),
+              |r AS (SELECT g, w * t_feas / tok AS mix_rate,
+              |    LEAST(CAST(FLOOR(w * t_feas / tok * 65536) AS BIGINT),
+              |      65535) AS thr
+              |  FROM f),
+              |kept AS (
+              |  SELECT d.source, d.doc_id, d.n_tok, r.mix_rate
+              |  FROM d JOIN r ON d.source = r.g
+              |  WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+              |    < lpad(lower(hex(thr)), 4, '0')),
+              |g AS (
+              |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |    CAST(SUM(n_tok) AS BIGINT) AS tokens_kept,
+              |    ROUND(MAX(mix_rate), 6) AS rate,
+              |    MIN(doc_id) AS first_doc
+              |  FROM kept GROUP BY source)
+              |SELECT source, n_docs, tokens_kept, rate, first_doc,
+              |  ROUND(tokens_kept / CAST(SUM(tokens_kept) OVER ()
+              |    AS DOUBLE), 6) AS achieved_share
+              |FROM g ORDER BY source""".stripMargin))
   )
 }
