@@ -156,6 +156,42 @@ object TrainingQueries extends Catalog {
               |SELECT source, n_docs, tokens_kept, rate, first_doc,
               |  ROUND(tokens_kept / CAST(SUM(tokens_kept) OVER ()
               |    AS DOUBLE), 6) AS achieved_share
-              |FROM g ORDER BY source""".stripMargin))
+              |FROM g ORDER BY source""".stripMargin)),
+
+    // Per-source RELATIVE quality filter: keep each source's top 30%
+    // by score (n_chars as the integer quality proxy) — "filter to
+    // the best X% of each source", the rank-based sibling of q39's
+    // absolute-rule filter. Never sorts the corpus: the per-source
+    // 70th-percentile threshold is a |sources|-row agg (exact
+    // `percentile` here; `approx_percentile` is the same-plan 100 TB
+    // knob), broadcast back as a map-side `>=` filter. Spark's
+    // percentile and DuckDB's quantile_cont interpolate identically
+    // (a + (b-a)*f on binary64), so the threshold — and the kept doc
+    // set — match exactly.
+    Q("q108_source_pctl_filter",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val thr = docs.groupBy(col("source"))
+          .agg(expr("percentile(n_chars, 0.7)").as("thr"))
+        docs.join(broadcast(thr), "source")
+          .filter(col("n_chars") >= col("thr"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("chars_kept"),
+            min(col("n_chars")).as("min_kept"),
+            round(max(col("thr")), 6).as("cutoff"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (
+             |  SELECT source, quantile_cont(n_chars, 0.7) AS thr
+             |  FROM documents GROUP BY source)
+             |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             |  CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept,
+             |  MIN(d.n_chars) AS min_kept,
+             |  ROUND(MAX(t.thr), 6) AS cutoff
+             |FROM documents d JOIN t ON d.source = t.source
+             |WHERE d.n_chars >= t.thr
+             |GROUP BY d.source ORDER BY d.source""".stripMargin))
   )
 }

@@ -1,6 +1,6 @@
 #!/bin/bash
 # Standing sf1 correctness gate: re-verify the scale family
-# (SparkEntry.scaleFamily, 30 queries) rows+schema+hash against DuckDB
+# (SparkEntry.scaleFamily) rows+schema+hash against DuckDB
 # on the 10x data point, and write the driver-shaped artifact.
 #
 #   tools/sf1_gate.sh <roundN>       # -> CORRECTNESS_sf1_r{N}.json
