@@ -56,5 +56,6 @@ object SparkEntry {
     "q83_decontam", "q84_unigram_lm", "q86_scd2", "q89_gap_fill",
     "q90_session_window", "q96_recursive_cte", "q99_cooccurrence",
     "q104_approx_distinct_gate", "q105_seq_pack", "q106_det_shard",
-    "q107_mixture_resample", "q108_source_pctl_filter")
+    "q107_mixture_resample", "q108_source_pctl_filter",
+    "q109_incremental_dedup")
 }

@@ -43,6 +43,32 @@ object Dedup {
     withSig.select((col("doc_id") +: sigCols): _*)
   }
 
+  /** Banded LSH bucket table (doc_id, band, sig): the map-only
+    * signature pipeline plus the per-band md5 — the "index rows" every
+    * LSH variant (self-dedup, incremental dedup) shuffles or probes
+    * on. Shingle-less docs null their band signatures and are dropped
+    * (they can never be near-dup candidates).
+    */
+  def bandedBuckets(df: DataFrame, id: Column, text: Column,
+                    numHashes: Int, bands: Int,
+                    shingleLen: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(df, id, text, numHashes, shingleLen)
+    // concat (not concat_ws): a null minhash (shingle-less doc) must
+    // null the band signature, or every empty doc lands in one bucket.
+    val bandSig = (b: Int) =>
+      md5(concat((0 until rows).flatMap(r =>
+        Seq(lit("|"), col(s"m${b * rows + r}"))).drop(1): _*))
+    sigs.select(
+      col("doc_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandSig(b).as("sig"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      // shingle-less docs have null band signatures — never candidates
+      .filter(col("sig").isNotNull)
+  }
+
   /** LSH candidate pairs: signatures are grouped into `bands` bands of
     * `numHashes / bands` rows each; docs sharing any band signature are
     * candidates. One explode(bands) → shuffle on (band, signature) →
@@ -53,24 +79,7 @@ object Dedup {
   def minhashCandidates(df: DataFrame, id: Column, text: Column,
                         numHashes: Int, bands: Int,
                         shingleLen: Int = 3): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    // Map-only signatures via the custom MultiMinHash expression (one
-    // array pass for all seeds); the only shuffle left is the bucket
-    // self-join.
-    val sigs = minhashSignatures(df, id, text, numHashes, shingleLen)
-    // concat (not concat_ws): a null minhash (shingle-less doc) must
-    // null the band signature, or every empty doc lands in one bucket.
-    val bandSig = (b: Int) =>
-      md5(concat((0 until rows).flatMap(r =>
-        Seq(lit("|"), col(s"m${b * rows + r}"))).drop(1): _*))
-    val buckets = sigs.select(
-      col("doc_id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), bandSig(b).as("sig"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-      // shingle-less docs have null band signatures — never candidates
-      .filter(col("sig").isNotNull)
+    val buckets = bandedBuckets(df, id, text, numHashes, bands, shingleLen)
     // Aggregate each bucket's members and generate the i<j pairs from
     // the sorted member array IN the expression layer. A bucket
     // self-join would recompute the whole signature pipeline for both
@@ -85,6 +94,44 @@ object Dedup {
           y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
     pairs.groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Incremental dedup: adjudicate a NEW batch (`delta`) against an
+    * already-deduplicated corpus (`base`) without ever re-deduplicating
+    * the corpus — the operation a standing pipeline runs per crawl.
+    * Returns one row per delta doc: `base_match` (min base doc sharing
+    * an LSH band, null if none), `delta_match` (min EARLIER delta doc
+    * sharing a band — first-wins within the batch), and `is_new`.
+    *
+    * Scale posture: the corpus side is index-shaped — its banded
+    * bucket rows are map-only to compute (and in production are
+    * materialized once and reused across batches; recomputing here
+    * keeps the query self-contained). The day's batch buckets
+    * BROADCAST into the base probe, so the 100 TB side is a map-only
+    * scan with zero shuffle; only the hit set (bounded by
+    * |delta| × bands) and the batch-internal self-join shuffle.
+    */
+  def incrementalDedup(base: DataFrame, delta: DataFrame,
+                       id: Column, text: Column,
+                       numHashes: Int, bands: Int,
+                       shingleLen: Int = 3): DataFrame = {
+    val baseBk = bandedBuckets(base, id, text, numHashes, bands, shingleLen)
+    val deltaBk = bandedBuckets(delta, id, text, numHashes, bands, shingleLen)
+    val baseHits = baseBk.as("b")
+      .join(broadcast(deltaBk.as("d")), Seq("band", "sig"))
+      .groupBy(col("d.doc_id").as("doc_id"))
+      .agg(min(col("b.doc_id")).as("base_match"))
+    val deltaHits = deltaBk.as("d")
+      .join(deltaBk.as("e"), col("d.band") === col("e.band")
+        && col("d.sig") === col("e.sig")
+        && col("e.doc_id") < col("d.doc_id"))
+      .groupBy(col("d.doc_id").as("doc_id"))
+      .agg(min(col("e.doc_id")).as("delta_match"))
+    delta.select(id.cast("long").as("doc_id"))
+      .join(baseHits, Seq("doc_id"), "left")
+      .join(deltaHits, Seq("doc_id"), "left")
+      .withColumn("is_new",
+        col("base_match").isNull && col("delta_match").isNull)
   }
 
   /** Per-doc 16-bit SimHash fingerprint (map-only). Near-dups = docs at

@@ -184,6 +184,44 @@ object DedupQueries extends Catalog {
               |FROM walk GROUP BY v ORDER BY doc_id""".stripMargin),
       bench = false), // same offline-decision shape as q47
 
+    // Incremental dedup: the day's batch (doc_id % 10 = 0) adjudicated
+    // against the standing corpus WITHOUT re-deduplicating the corpus —
+    // batch buckets broadcast into the index probe (corpus side is a
+    // zero-shuffle map scan), first-wins ordering within the batch.
+    // Oracle rebuilds the same verdicts from the shared bucket CTE.
+    Q("q109_incremental_dedup",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        Dedup.incrementalDedup(
+            d.filter(col("doc_id") % 10 =!= 0),
+            d.filter(col("doc_id") % 10 === 0),
+            col("doc_id"), col("text"), NumHashes, Bands)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$duckShingleCte,
+              |$duckLshPairsBody,
+              |base_hits AS (
+              |  SELECT d.doc_id, MIN(b.doc_id) AS base_match
+              |  FROM buckets d JOIN buckets b
+              |    ON d.band = b.band AND d.bsig = b.bsig
+              |  WHERE d.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+              |    AND d.bsig IS NOT NULL
+              |  GROUP BY d.doc_id),
+              |delta_hits AS (
+              |  SELECT d.doc_id, MIN(e.doc_id) AS delta_match
+              |  FROM buckets d JOIN buckets e
+              |    ON d.band = e.band AND d.bsig = e.bsig
+              |    AND e.doc_id < d.doc_id
+              |  WHERE d.doc_id % 10 = 0 AND e.doc_id % 10 = 0
+              |    AND d.bsig IS NOT NULL
+              |  GROUP BY d.doc_id)
+              |SELECT dd.doc_id, h.base_match, e.delta_match,
+              |  (h.base_match IS NULL AND e.delta_match IS NULL) AS is_new
+              |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) dd
+              |LEFT JOIN base_hits h ON dd.doc_id = h.doc_id
+              |LEFT JOIN delta_hits e ON dd.doc_id = e.doc_id
+              |ORDER BY dd.doc_id""".stripMargin)),
+
     // Deterministic content-addressed sampling: a row's fate is a pure
     // function of md5(doc_id) — reproducible on any engine or cluster
     // size, and raising the rate only ADDS rows (never swaps them)

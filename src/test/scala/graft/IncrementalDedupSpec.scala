@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val story = "the quick brown fox jumps over the lazy dog " +
+    "while seven wizards brew strange potions under a pale moon"
+  private val other = "entirely different words about ships and " +
+    "harbors and the long voyage across a cold grey sea at dawn"
+
+  private val base = Seq(
+    (1L, story), (2L, other))
+    .toDF("doc_id", "text")
+  private val delta = Seq(
+    (10L, story),          // dup of base doc 1
+    (11L, "completely novel content nine red balloons drift over " +
+      "silent rooftops carrying letters nobody will ever read today"),
+    (12L, story),          // dup of base 1 AND of earlier delta 10
+    (13L, "too short"))    // < 3 tokens: no shingles, never a candidate
+    .toDF("doc_id", "text")
+
+  test("delta docs match base, earlier delta, or are new") {
+    val got = Dedup
+      .incrementalDedup(base, delta, $"doc_id", $"text",
+        numHashes = 8, bands = 4)
+      .select($"doc_id", $"base_match", $"delta_match", $"is_new")
+      .as[(Long, Option[Long], Option[Long], Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(10L) == ((Some(1L), None, false)))
+    assert(got(11L) == ((None, None, true)))
+    assert(got(12L) == ((Some(1L), Some(10L), false)))
+    assert(got(13L) == ((None, None, true)))
+    assert(got.size == 4) // exactly one verdict row per delta doc
+  }
+
+  test("first-wins is intra-batch only: base is never matched to itself") {
+    val out = Dedup
+      .incrementalDedup(base, delta, $"doc_id", $"text", 8, 4)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(10L, 11L, 12L, 13L)) // no base ids in the output
+  }
+
+  test("batch buckets broadcast into the corpus probe (no corpus shuffle join)") {
+    val out = Dedup.incrementalDedup(base, delta, $"doc_id", $"text", 8, 4)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
