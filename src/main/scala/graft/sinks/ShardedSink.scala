@@ -1,0 +1,45 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sharded training-data materializer: lay a corpus out as one
+  * directory per shard (`shard=XX/part-*.parquet`), rows ordered
+  * WITHIN each shard by the deterministic shuffle key — the on-disk
+  * contract of q106's md5 sharding, i.e. what a trainer's data loader
+  * actually reads and what a resumed run must re-materialize
+  * identically.
+  *
+  * Plan shape (the part that must scale): exactly ONE hash exchange on
+  * the shard id (`repartition(col)`), then `sortWithinPartitions` —
+  * a per-partition sort, never a global one — then the partitioned
+  * writer. Spark's `partitionBy` on an already-shard-partitioned
+  * frame writes each shard's rows from the tasks that own them, so
+  * a shard's files are internally sorted and no task writes to two
+  * shards (one file per shard per task; with the default one-to-one
+  * mapping here, one file per shard).
+  *
+  * The key travels as a column so the sort and the downstream reader
+  * agree on order without recomputing the hash.
+  */
+object ShardedSink {
+
+  /** Write `df` under `outDir` partitioned by an md5 shard of `id`
+    * (`nibbles` hex chars → 16^nibbles shards), each shard ordered by
+    * the full digest. Returns the frame as written (shard + sort key
+    * included) for callers that want to verify or count.
+    */
+  def writeSharded(df: DataFrame, id: Column, outDir: String,
+                   nibbles: Int = 2): DataFrame = {
+    require(nibbles >= 1 && nibbles <= 8,
+      s"nibbles must be in [1, 8], got $nibbles")
+    val keyed = df
+      .withColumn("shuffle_key", md5(id.cast("string")))
+      .withColumn("shard", substring(col("shuffle_key"), 1, nibbles))
+    val laid = keyed
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("shuffle_key"))
+    laid.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    laid
+  }
+}
