@@ -68,6 +68,16 @@ object Bench {
     // committed artifact tracking code instead of machine load. The
     // suite-run median is preserved in the detail file (`suite_med`)
     // so the correction itself stays auditable.
+    //
+    // The correction is DELIBERATELY one-sided and labeled as such in
+    // the artifact (`remeasure_policy`): the slow-noise anomaly has a
+    // detector (median far above the query's own best run), but there
+    // is no symmetric "lucky-fast median" signal in a single query's
+    // spread — min IS the lower envelope, and a tight-and-fast spread
+    // is indistinguishable from the query genuinely being that fast.
+    // So corrections can only lower the headline total, and readers
+    // of the artifact can see exactly when and how often that
+    // happened (remeasured count + per-query suite_med).
     val results: Seq[(String, Option[Seq[Double]], Option[Double])] =
       suite.map {
         case (name, Some(ts)) if ts(ts.size / 2) > 2 * ts.head =>
@@ -113,7 +123,7 @@ object Bench {
         "\"" + k.takeWhile(_ != '_') + "\":" +
           num(dp, v.map(med).getOrElse(-1.0))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(3, total)},"unit":"sec","runs":$runs,"remeasured":$remeasured,"total_min":${num(3, totalMin)},"total_max":${num(3, totalMax)},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(3, total)},"unit":"sec","runs":$runs,"remeasured":$remeasured,"remeasure_policy":"slow-only","total_min":${num(3, totalMin)},"total_max":${num(3, totalMax)},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     }
     val line = (3 to 0 by -1).map(jsonLine)
       .find(_.length <= 1800).getOrElse(jsonLine(0))
@@ -135,7 +145,7 @@ object Bench {
         "\"" + k + "\":" + stats
       }.mkString("{\n  ", ",\n  ", "\n}")
       val body =
-        s"""{"sf":"$sfDir","runs":$runs,"total_med":${num(3, total)},"total_min":${num(3, totalMin)},"total_max":${num(3, totalMax)},"queries":$detail}"""
+        s"""{"sf":"$sfDir","runs":$runs,"remeasured":$remeasured,"remeasure_policy":"slow-only","total_med":${num(3, total)},"total_min":${num(3, totalMin)},"total_max":${num(3, totalMax)},"queries":$detail}"""
       // best-effort: an unwritable detail path must not crash the run
       // and lose the stdout metrics line the harness parses
       try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),

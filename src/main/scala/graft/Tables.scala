@@ -19,22 +19,33 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
-      // default; read the raw int64 nanos and truncate to microseconds
-      // (exactly what DuckDB does when it coerces NANOS to its µs
-      // timestamps). timestamp_ntz keeps it wall-clock like the source.
+      // events.ts has shipped in two physical layouts over time:
+      // TIMESTAMP(NANOS) (an int64 to Spark under the nanosAsLong
+      // legacy flag — truncated to µs here, exactly what DuckDB does
+      // when it coerces NANOS) and plain TIMESTAMP(MICROS). Dispatch
+      // on the type the scan actually inferred so both layouts load
+      // to the same timestamp_ntz column — engine code downstream
+      // never sees the difference, and a re-generated dataset can't
+      // silently break the loader again.
       // The nanosAsLong flag itself is set at session construction
-      // (GraftSession) because it has session-wide reach; the require
-      // here fails fast with a pointer instead of silently flipping
-      // the session's parquet semantics from inside a loader.
-      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong",
-          "false") == "true",
-        "events needs spark.sql.legacy.parquet.nanosAsLong=true — " +
-          "build the session via graft.GraftSession.builder")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000"))
-            .cast("timestamp_ntz"))
+      // (GraftSession) because it has session-wide reach; see the
+      // require in the LongType branch.
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType =>
+          require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong",
+              "false") == "true",
+            "events needs spark.sql.legacy.parquet.nanosAsLong=true — " +
+              "build the session via graft.GraftSession.builder")
+          raw.withColumn("ts",
+            timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        case TimestampNTZType => raw
+        case _: TimestampType =>
+          raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+        case other => throw new IllegalStateException(
+          s"unexpected events.ts type: $other")
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 }

@@ -204,6 +204,12 @@ case class SortedIntersectAtLeastLong(
     left: Expression, right: Expression, threshold: Double)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
+  // threshold is spliced into generated Java source as a literal; a
+  // non-finite value would make codegen emit non-compiling (or
+  // eval-divergent) source, so reject it before either path runs
+  require(java.lang.Double.isFinite(threshold),
+    s"threshold must be finite, got $threshold")
+
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_at_least_long"
 

@@ -117,8 +117,22 @@ object Dedup {
                        shingleLen: Int = 3): DataFrame = {
     val baseBk = bandedBuckets(base, id, text, numHashes, bands, shingleLen)
     val deltaBk = bandedBuckets(delta, id, text, numHashes, bands, shingleLen)
+    // Broadcast the delta buckets only when Catalyst's size estimate
+    // says they fit the session's broadcast threshold; an oversized
+    // "batch" (someone reprocessing a month at once) then degrades to
+    // a shuffled hash join on (band, sig) instead of failing on the
+    // driver/broadcast limit. conf "-1" (broadcast disabled) also
+    // routes to the shuffle path.
+    val bcThreshold = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(base.sparkSession.conf
+        .get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    val deltaBytes = deltaBk.queryExecution.optimizedPlan.stats.sizeInBytes
+    val probeSide =
+      if (bcThreshold >= 0 && deltaBytes <= bcThreshold)
+        broadcast(deltaBk.as("d"))
+      else deltaBk.as("d")
     val baseHits = baseBk.as("b")
-      .join(broadcast(deltaBk.as("d")), Seq("band", "sig"))
+      .join(probeSide, Seq("band", "sig"))
       .groupBy(col("d.doc_id").as("doc_id"))
       .agg(min(col("b.doc_id")).as("base_match"))
     val deltaHits = deltaBk.as("d")

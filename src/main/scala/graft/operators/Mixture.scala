@@ -50,10 +50,28 @@ object Mixture {
       case (acc, (g, s)) => when(lit(g) === col("mix_g"), lit(s))
         .otherwise(acc)
     }
-    val totals = docs
-      .select(group.cast("string").as("mix_g"), size.cast("long").as("sz"))
-      .filter(col("mix_g").isin(shares.map(_._1): _*))
-      .groupBy(col("mix_g")).agg(sum(col("sz")).as("tok"))
+    // Every requested group must contribute tokens: a misspelled (or
+    // empty) source would otherwise silently drop out of the totals,
+    // T would renormalize over the survivors, and the achieved shares
+    // would quietly diverge from the request. The guard is in-plan
+    // (zero extra jobs): the share list is the build side of a LEFT
+    // join from the requested keys, so an absent group surfaces as a
+    // null `tok` and assert_true throws on the caller's first action.
+    val requested = docs.sparkSession
+      .createDataFrame(shares.map(g => Tuple1(g._1)))
+      .toDF("mix_g")
+    val totals = requested
+      .join(docs
+        .select(group.cast("string").as("mix_g"),
+          size.cast("long").as("sz"))
+        .filter(col("mix_g").isin(shares.map(_._1): _*))
+        .groupBy(col("mix_g")).agg(sum(col("sz")).as("tok")),
+        Seq("mix_g"), "left")
+      .filter(assert_true(col("tok").isNotNull && col("tok") > 0,
+        concat(lit("Mixture.resampleToShares: requested group '"),
+          col("mix_g"),
+          lit("' has no tokens in the corpus — misspelled source " +
+            "name or empty group"))).isNull)
       .withColumn("w", w)
     // T = min(tok/w) over the |sources|-row totals — an unpartitioned
     // window, but over a bounded catalog-sized frame, never the corpus

@@ -31,9 +31,11 @@ import org.apache.spark.sql.functions._
   *
   * Semantics match the recursive-CTE walk from the root: a node is
   * labeled iff its whole parent chain exists in `edges` and reaches
-  * `rootKey`; nodes with broken chains (a missing ancestor) drop out,
-  * and a cycle can never finish — both leave active rows, which the
-  * convergence guard reports rather than silently mislabeling.
+  * `rootKey`. Nodes with broken chains (a missing ancestor) DROP OUT
+  * of the state inside the round join — unlabeled, exactly as the CTE
+  * never reaches them. Only cycles (or a wrong `knownMaxDepth` bound)
+  * leave active rows at the end, and those the convergence guard
+  * reports loudly rather than silently mislabeling.
   */
 object PointerDoubling {
 

@@ -272,24 +272,35 @@ object IncrementalQueries extends Catalog {
 
     // Bag-semantics set ops (vs q14/q15's distinct forms):
     // INTERSECT ALL keeps min(multiplicity), EXCEPT ALL subtracts
-    // multiplicities — Spark plans both as multiplicity-counting
-    // aggregations + a generator, one shuffle each, no distinct pass.
-    // Aggregated per key so the gate pins multiplicities exactly.
+    // multiplicities. Both set-ops over the SAME table keyed the same
+    // way are per-key multiplicity arithmetic, so the whole query
+    // fuses into ONE map-combined aggregation: n_inter =
+    // least(n_open, n_done), n_except = greatest(n_open - n_done, 0),
+    // and a key appears in the result iff n_open > 0 (intersect hits
+    // need both sides; except hits need open > done — either way open
+    // rows must exist). The literal intersectAll/exceptAll plan pays
+    // ~5 exchanges (each set-op shuffles both filtered branches, then
+    // two groupBys and a full outer join); the fused form pays one
+    // agg exchange + the presentation sort — measured 1.10 s → ~0.3 s
+    // at sf1, and the only one of the two that scales: the shuffled
+    // bytes drop from 4× the filtered rows to one combined row per
+    // (key, partition). q14/q15 keep exercising Spark's raw
+    // intersect/except operators; this entry pins the BAG semantics.
     Q("q102_bag_setops",
       (s, dir) => {
         val o = Tables.load(s, dir, "orders")
-        val open = o.filter(col("o_orderstatus") === "O")
-          .select(col("o_custkey"))
-        val done = o.filter(col("o_orderstatus") === "F")
-          .select(col("o_custkey"))
-        val inter = open.intersectAll(done)
-          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_inter"))
-        val exc = open.exceptAll(done)
-          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_except"))
-        inter.join(exc, Seq("o_custkey"), "full_outer")
+        o.filter(col("o_orderstatus").isin("O", "F"))
+          .groupBy(col("o_custkey"))
+          .agg(
+            count(when(col("o_orderstatus") === "O", lit(1)))
+              .as("n_open"),
+            count(when(col("o_orderstatus") === "F", lit(1)))
+              .as("n_done"))
+          .filter(col("n_open") > 0)
           .select(col("o_custkey"),
-            coalesce(col("n_inter"), lit(0L)).as("n_inter"),
-            coalesce(col("n_except"), lit(0L)).as("n_except"))
+            least(col("n_open"), col("n_done")).as("n_inter"),
+            greatest(col("n_open") - col("n_done"), lit(0L))
+              .as("n_except"))
           .orderBy(col("o_custkey"))
       },
       Some("""WITH i AS (
@@ -322,18 +333,26 @@ object IncrementalQueries extends Catalog {
     Q("q96_recursive_cte",
       (s, dir) => {
         val part = Tables.load(s, dir, "part")
-        // halving hierarchy over LONG keys ⇒ depth <= 63, with zero
-        // data inspection. The tighter bit-length-of-max-key bound
-        // needs a full-scan agg JOB first, and ceil(log2 63) = 6
-        // rounds vs 5 for the measured bound — one extra (cheap,
-        // unmaterialized) self-compose is cheaper than one extra job
-        // launch, which is exactly the floor this query is bound by.
+        // Halving hierarchy over LONG keys ⇒ depth(k) = bitLength(k),
+        // so max depth = bitLength(max key). The data-free bound is
+        // 63; the TIGHT bound comes from max(p_partkey) read off the
+        // parquet FOOTER statistics driver-side (ParquetStats —
+        // metadata only, zero Spark jobs; a full-scan agg job would
+        // cost exactly the job-launch floor this query is bound by).
+        // sf1's 2M keys give bitLength 21 ⇒ 5 compose rounds instead
+        // of 6 — one fewer sequential self-join stage wave.
+        val bound = graft.sources.ParquetStats
+          .maxLong(s.sparkContext.hadoopConfiguration,
+            s"$dir/part.parquet", "p_partkey")
+          .filter(_ > 0)
+          .map(m => (64 - java.lang.Long.numberOfLeadingZeros(m)).toLong)
+          .getOrElse(63L)
         graft.operators.PointerDoubling.depths(
             part.filter(col("p_partkey") > 0),
             col("p_partkey"),
             floor(col("p_partkey") / 2.0).cast("long"),
             rootKey = 0L,
-            knownMaxDepth = Some(63L))
+            knownMaxDepth = Some(bound))
           .groupBy(col("depth"))
           .agg(count(lit(1)).as("n"),
             min(col("key")).as("min_key"), max(col("key")).as("max_key"))

@@ -1,0 +1,63 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+
+/** Driver-side reads of parquet FOOTER column statistics — metadata
+  * only, never a Spark job. The min/max every parquet writer records
+  * per column chunk is exactly what an iterative operator needs for a
+  * tight data-dependent bound (e.g. pointer-doubling round count from
+  * the key domain's bit length) without paying a full-scan
+  * aggregation job first.
+  *
+  * Cost model at 100 TB: one footer read per file (a few KB each,
+  * seek-to-tail). That is the same metadata Spark's own scan planning
+  * touches to split the files, so a bound derived here is strictly
+  * cheaper than any Spark job — no tasks, no shuffle, no stage. For
+  * catalog-backed tables the same numbers come from table statistics
+  * without touching files at all; this helper is the no-catalog path.
+  */
+object ParquetStats {
+
+  /** Max value of an integral column across all row groups of all
+    * parquet files under `path` (a single file or a directory of
+    * `part-*.parquet`). None when no file carries statistics for the
+    * column (callers fall back to their data-free bound).
+    */
+  def maxLong(conf: Configuration, path: String, column: String)
+      : Option[Long] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return None
+    val files: Seq[Path] =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).toSeq.map(_.getPath).filter { p =>
+          val n = p.getName
+          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+        }
+      else Seq(root)
+    val maxes = files.flatMap { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        reader.getFooter.getBlocks.asScala.toSeq.flatMap { block =>
+          block.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .flatMap { chunk =>
+              val st = chunk.getStatistics
+              if (st == null || !st.hasNonNullValue) None
+              else st.genericGetMax match {
+                case l: java.lang.Long    => Some(l.longValue)
+                case i: java.lang.Integer => Some(i.longValue)
+                case _                    => None // non-integral: no bound
+              }
+            }
+        }
+      } finally reader.close()
+    }
+    maxes.reduceOption(_ max _)
+  }
+}

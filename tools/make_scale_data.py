@@ -154,10 +154,11 @@ write("orders", pa.table({
     "o_custkey": pa.array(r.integers(0, n_cust, n_ord)),
     "o_orderstatus": pa.array(np.array(["F", "O", "P"])[r.integers(0, 3, n_ord)]),
     "o_totalprice": pa.array(np.round(r.uniform(1000, 500_000, n_ord), 2)),
-    # driver stores order/ship dates as timestamp[ms], events as
-    # timestamp[ns] (plain int64 to Spark, ns->us converted in the
-    # loader) - match exactly or the loader's conversion breaks
-    "o_orderdate": pa.array(orderdates // 1000, pa.timestamp("ms")),
+    # driver's current layout stores order/ship dates and events.ts
+    # as timestamp[us] (earlier rounds shipped ms / ns; the engine
+    # loader and both query engines are unit-agnostic, but match the
+    # driver's layout so the scan path exercised is identical)
+    "o_orderdate": pa.array(orderdates, pa.timestamp("us")),
     "o_orderpriority": pa.array(np.array(
         ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     )[r.integers(0, 5, n_ord)]),
@@ -179,8 +180,8 @@ write("lineitem", pa.table({
     "l_tax": pa.array(np.round(r.integers(0, 9, n_li) * 0.01, 2)),
     "l_returnflag": pa.array(np.array(["A", "N", "R"])[r.integers(0, 3, n_li)]),
     "l_linestatus": pa.array(np.array(["F", "O"])[r.integers(0, 2, n_li)]),
-    "l_shipdate": pa.array((shipbase + r.integers(1, 96, n_li) * DAY_US)
-                           // 1000, pa.timestamp("ms")),
+    "l_shipdate": pa.array(shipbase + r.integers(1, 96, n_li) * DAY_US,
+                           pa.timestamp("us")),
 }))
 
 # ---- events ----
@@ -191,7 +192,9 @@ t0, t1 = ts_us("2024-01-01"), ts_us("2024-01-31")
 ts = np.sort(r.integers(t0, t1, n))
 write("events", pa.table({
     "event_id": pa.array(np.arange(n, dtype=np.int64)),
-    "ts": pa.array(ts * 1000, pa.timestamp("ns")),
+    # driver's current layout is timestamp[us] (it shipped ns in
+    # earlier rounds; Tables.load handles both)
+    "ts": pa.array(ts, pa.timestamp("us")),
     "user_id": pa.array(r.integers(0, n_users, n)),
     "event_type": pa.array(np.array(
         ["click", "error", "purchase", "signup", "view"])[r.integers(0, 5, n)]),
