@@ -89,6 +89,39 @@ object Bench {
       }
     val failed = results.collect { case (n, None, _) => n }
     def med(ts: Seq[Double]): Double = ts(ts.size / 2)
+    // Cross-round regression check: the slow-only isolated re-measure
+    // above is structurally blind to a query that is slow in EVERY run
+    // of this round (med ≈ min, nothing to re-measure) but was fast
+    // last round — exactly how r12's q81 went 0.24 s -> 2.73 s without
+    // tripping anything. Compare each query's CURRENT MIN (its lower
+    // envelope — immune to this round's own noise) against the
+    // PREVIOUS round's committed median from the detail file we are
+    // about to overwrite: min > 2x prev_med AND min - prev_med >
+    // 0.15 s (absolute guard so the 0.1-0.3 s scheduling floor can't
+    // flag 0.06 s -> 0.13 s noise) => listed in "regressed". The flag
+    // is advisory-loud, not a gate: ambient machine load can still
+    // cause it (r12's q80-q87 band was exactly that), but it turns a
+    // silent drift into an artifact field someone must adjudicate.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_DETAIL.json")
+    val regressed: Seq[String] = try {
+      val f = new java.io.File(detailPath)
+      if (!f.exists) Nil
+      else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(f)
+        val sameSf = root.hasNonNull("sf") && root.get("sf").asText == sfDir
+        val prev = root.get("queries")
+        if (!sameSf || prev == null) Nil
+        else results.collect {
+          case (name, Some(ts), _)
+              if prev.has(name) && prev.get(name).hasNonNull("med") &&
+                ts.head > 2 * prev.get(name).get("med").asDouble &&
+                ts.head - prev.get(name).get("med").asDouble > 0.15 =>
+            name
+        }
+      }
+    } catch { case _: Exception => Nil } // unreadable baseline: no flags
     val total =
       if (failed.nonEmpty) -1.0 else results.flatMap(_._2.map(med)).sum
     val remeasured = results.count(_._3.isDefined)
@@ -98,6 +131,7 @@ object Bench {
     val totalMin = results.flatMap(_._2.map(_.head)).sum
     val totalMax = results.flatMap(_._2.map(_.last)).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The harness reading this line keeps only the LAST 2000 chars of
     // stdout (measured across BENCH_r01-r04), so the JSON must stay
     // compact: per-query keys are the short qNN prefix (matching
@@ -123,7 +157,7 @@ object Bench {
         "\"" + k.takeWhile(_ != '_') + "\":" +
           num(dp, v.map(med).getOrElse(-1.0))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(3, total)},"unit":"sec","runs":$runs,"remeasured":$remeasured,"remeasure_policy":"slow-only","total_min":${num(3, totalMin)},"total_max":${num(3, totalMax)},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(3, total)},"unit":"sec","runs":$runs,"remeasured":$remeasured,"remeasure_policy":"slow-only","regressed":$regressedJson,"total_min":${num(3, totalMin)},"total_max":${num(3, totalMax)},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     }
     val line = (3 to 0 by -1).map(jsonLine)
       .find(_.length <= 1800).getOrElse(jsonLine(0))
@@ -131,8 +165,6 @@ object Bench {
     // ~2000-char budget): min/median/max over the timed runs, so a
     // per-query regression flag can be judged against ITS OWN noise
     // band instead of the suite-level total_min/total_max
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "BENCH_DETAIL.json")
     if (detailPath.nonEmpty) {
       val detail = results.map { case (k, v, suiteMed) =>
         val stats = v match {
@@ -145,7 +177,7 @@ object Bench {
         "\"" + k + "\":" + stats
       }.mkString("{\n  ", ",\n  ", "\n}")
       val body =
-        s"""{"sf":"$sfDir","runs":$runs,"remeasured":$remeasured,"remeasure_policy":"slow-only","total_med":${num(3, total)},"total_min":${num(3, totalMin)},"total_max":${num(3, totalMax)},"queries":$detail}"""
+        s"""{"sf":"$sfDir","runs":$runs,"remeasured":$remeasured,"remeasure_policy":"slow-only","regressed":$regressedJson,"total_med":${num(3, total)},"total_min":${num(3, totalMin)},"total_max":${num(3, totalMax)},"queries":$detail}"""
       // best-effort: an unwritable detail path must not crash the run
       // and lose the stdout metrics line the harness parses
       try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),

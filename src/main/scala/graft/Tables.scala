@@ -29,16 +29,26 @@ object Tables {
       // silently break the loader again.
       // The nanosAsLong flag itself is set at session construction
       // (GraftSession) because it has session-wide reach; see the
-      // require in the LongType branch.
+      // catch around the read below.
       import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
       import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      // With nanosAsLong OFF, a TIMESTAMP(NANOS) file fails inside
+      // spark.read.parquet's schema inference (raw "Illegal Parquet
+      // type: INT64 (TIMESTAMP(NANOS,...))") — before any type
+      // dispatch below could run. Catch that one failure and rethrow
+      // with the fix, so a session built without GraftSession.builder
+      // gets the pointer instead of a bare Parquet type error.
+      val raw =
+        try spark.read.parquet(s"$dir/$name.parquet")
+        catch {
+          case e: Exception
+              if String.valueOf(e.getMessage).contains("NANOS") =>
+            throw new IllegalStateException(
+              "events needs spark.sql.legacy.parquet.nanosAsLong=true — " +
+                "build the session via graft.GraftSession.builder", e)
+        }
       raw.schema("ts").dataType match {
         case LongType =>
-          require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong",
-              "false") == "true",
-            "events needs spark.sql.legacy.parquet.nanosAsLong=true — " +
-              "build the session via graft.GraftSession.builder")
           raw.withColumn("ts",
             timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
         case TimestampNTZType => raw

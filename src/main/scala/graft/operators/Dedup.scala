@@ -123,9 +123,13 @@ object Dedup {
     // a shuffled hash join on (band, sig) instead of failing on the
     // driver/broadcast limit. conf "-1" (broadcast disabled) also
     // routes to the shuffle path.
-    val bcThreshold = org.apache.spark.network.util.JavaUtils
-      .byteStringAsBytes(base.sparkSession.conf
-        .get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    // Read through sessionState.conf, not a raw string parse:
+    // JavaUtils.byteStringAsBytes rejects "-1" (the standard value for
+    // "broadcast disabled"), so parsing the string here would crash
+    // exactly when the user asked for the shuffle path. The typed
+    // accessor returns Long and handles -1.
+    val bcThreshold: Long =
+      base.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     val deltaBytes = deltaBk.queryExecution.optimizedPlan.stats.sizeInBytes
     val probeSide =
       if (bcThreshold >= 0 && deltaBytes <= bcThreshold)

@@ -43,6 +43,14 @@ object Mixture {
       : DataFrame = {
     require(shares.nonEmpty, "shares must be non-empty")
     require(shares.forall(_._2 > 0), "shares must be positive")
+    // A duplicate group name would put duplicate rows into `requested`
+    // below; each survives the left join into `rates` and every doc of
+    // that group would then be emitted once per duplicate — silently
+    // breaking the no-duplication invariant. Fail loudly instead.
+    require(shares.map(_._1).distinct.size == shares.size,
+      s"duplicate group names in shares: ${shares.map(_._1)
+        .groupBy(identity).collect { case (g, gs) if gs.size > 1 => g }
+        .mkString(", ")}")
     val sumW = shares.map(_._2).sum
     require(math.abs(sumW - 1.0) < 1e-9,
       s"shares must sum to 1, got $sumW")

@@ -33,12 +33,23 @@ object ParquetStats {
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return None
+    // Recurse into subdirectories (Hive-partitioned layouts nest part
+    // files one level per partition column). A non-recursive listing
+    // would silently skip those files and return a PARTIAL max — and a
+    // too-small bound is worse than none (callers use it as a hard
+    // convergence guard). Hidden files/dirs (_SUCCESS, .staging) are
+    // skipped at every level, same as Spark's own file index.
+    def listParquet(p: Path): Seq[Path] = {
+      val st = fs.getFileStatus(p)
+      val n = p.getName
+      if (n.startsWith("_") || n.startsWith(".")) Nil
+      else if (st.isDirectory)
+        fs.listStatus(p).toSeq.map(_.getPath).flatMap(listParquet)
+      else if (n.endsWith(".parquet")) Seq(p)
+      else Nil
+    }
     val files: Seq[Path] =
-      if (fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).toSeq.map(_.getPath).filter { p =>
-          val n = p.getName
-          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-        }
+      if (fs.getFileStatus(root).isDirectory) listParquet(root)
       else Seq(root)
     val maxes = files.flatMap { f =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))

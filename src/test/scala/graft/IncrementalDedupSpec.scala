@@ -50,4 +50,22 @@ class IncrementalDedupSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("autoBroadcastJoinThreshold=-1 (broadcast disabled) degrades to " +
+      "the shuffle path instead of crashing") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val out = Dedup
+        .incrementalDedup(base, delta, $"doc_id", $"text", 8, 4)
+        .select($"doc_id", $"is_new")
+      // same answers as the broadcast plan; and the probe must not be
+      // a broadcast join when the user disabled broadcasting
+      val rows = out.as[(Long, Boolean)].collect().toMap
+      assert(rows(10L) == false && rows(11L) == true)
+      assert(!out.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+    } finally spark.conf.set(key, saved)
+  }
 }

@@ -48,6 +48,13 @@ class MixtureSpec extends SparkSpec {
       Mixture.resampleToShares(docs, $"doc_id", $"src", $"n_tok",
         Seq("a" -> 1.5, "b" -> -0.5))
     }
+    // duplicate group names would duplicate every doc of that group
+    // through the rates join — rejected up front
+    val dup = intercept[IllegalArgumentException] {
+      Mixture.resampleToShares(docs, $"doc_id", $"src", $"n_tok",
+        Seq("a" -> 0.5, "a" -> 0.25, "b" -> 0.25))
+    }
+    assert(dup.getMessage.contains("duplicate"))
   }
 
   test("rate table broadcasts; the corpus is never shuffled for the join") {
