@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions.tokenCount
 import graft.operators.{Mixture, Packing}
+import graft.sinks.ShardedSink
 
 /** Training-data assembly surface: the steps between a cleaned corpus
   * and what a trainer actually reads — sequence packing into fixed
@@ -192,6 +193,46 @@ object TrainingQueries extends Catalog {
              |  ROUND(MAX(t.thr), 6) AS cutoff
              |FROM documents d JOIN t ON d.source = t.source
              |WHERE d.n_chars >= t.thr
-             |GROUP BY d.source ORDER BY d.source""".stripMargin))
+             |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
+    // ShardedSink round trip: materialize the corpus as the sharded
+    // on-disk layout (shard=XX dirs, rows sorted by the md5 shuffle
+    // key inside each shard), then READ THE FILES BACK and verify the
+    // durable contract in-plan before aggregating:
+    //  - directory shard == substr(md5(doc_id), 1, 2) recomputed from
+    //    the row (no row landed in the wrong shard directory);
+    //  - shuffle_key == md5(doc_id) (the persisted key is honest);
+    //  - within every parquet file, shuffle_key is non-decreasing in
+    //    `_metadata.row_index` order (the intra-shard sort survived
+    //    the writer) — a per-FILE window, parallel in #files, never a
+    //    global sort.
+    // Any violation throws via assert_true; otherwise the per-shard
+    // aggregate must equal what DuckDB derives from `documents`
+    // directly — if the sink dropped, duplicated, or re-bucketed any
+    // row, counts/min/max keys diverge and the hash compare fails.
+    // This is the durable half of q106: same assignment, proven from
+    // the files a trainer's loader would actually read.
+    Q("q110_shard_readback",
+      (s, dir) => {
+        val out = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_q110_shards").getAbsolutePath
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+        ShardedSink.writeSharded(docs, col("doc_id"), out, nibbles = 2)
+        ShardedSink.readVerified(s, out, col("doc_id"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            min(col("shuffle_key")).as("first_key"),
+            max(col("shuffle_key")).as("last_key"))
+          .orderBy(col("shard"))
+      },
+      Some("""SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |  MIN(md5(CAST(doc_id AS VARCHAR))) AS first_key,
+             |  MAX(md5(CAST(doc_id AS VARCHAR))) AS last_key
+             |FROM documents GROUP BY shard
+             |ORDER BY shard""".stripMargin))
   )
 }

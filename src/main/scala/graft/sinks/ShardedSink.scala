@@ -42,4 +42,40 @@ object ShardedSink {
     laid.write.mode("overwrite").partitionBy("shard").parquet(outDir)
     laid
   }
+
+  /** Read a `writeSharded` layout back from the files, verifying the
+    * durable contract IN-PLAN (assert_true throws on the first
+    * violation at the caller's next action):
+    *  - the directory's `shard` value equals the md5 prefix recomputed
+    *    from the row's id (no row sits in the wrong shard directory);
+    *  - the persisted `shuffle_key` equals md5(id) (the key column was
+    *    not tampered with or mis-written);
+    *  - `shuffle_key` is non-decreasing in `_metadata.row_index` order
+    *    within every parquet file (the intra-shard sort survived the
+    *    writer). The order check is a per-FILE window — parallelism =
+    *    #files, never a global sort, so the verification itself scales
+    *    like the scan.
+    *
+    * Returns the verified doc-level rows (original columns plus
+    * `shard` and `shuffle_key`), for re-aggregation or re-feeding a
+    * loader.
+    */
+  def readVerified(spark: org.apache.spark.sql.SparkSession,
+                   outDir: String, id: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perFile = Window.partitionBy(col("_f")).orderBy(col("_ri"))
+    spark.read.parquet(outDir)
+      .withColumn("shard", col("shard").cast("string"))
+      .withColumn("_f", col("_metadata.file_path"))
+      .withColumn("_ri", col("_metadata.row_index"))
+      .withColumn("_prev", lag(col("shuffle_key"), 1).over(perFile))
+      .filter(assert_true(
+        col("shard") === col("shuffle_key")
+          .substr(lit(1), length(col("shard"))) &&
+          col("shuffle_key") === md5(id.cast("string")) &&
+          (col("_prev").isNull || col("_prev") <= col("shuffle_key")),
+        concat(lit("ShardedSink read-back contract violated in file "),
+          col("_f"))).isNull)
+      .drop("_f", "_ri", "_prev")
+  }
 }

@@ -42,6 +42,36 @@ class ShardedSinkSpec extends SparkSpec {
     assert(shardOf(tmpDir()) == shardOf(tmpDir()))
   }
 
+  test("readVerified round-trips the layout and returns every row") {
+    val out = tmpDir()
+    val docs = (1L to 200L).map(i => (i, i * 3)).toDF("doc_id", "v")
+    ShardedSink.writeSharded(docs, $"doc_id", out)
+    val back = ShardedSink.readVerified(spark, out, $"doc_id")
+    assert(back.select($"doc_id").as[Long].collect().toSet ==
+      (1L to 200L).toSet)
+  }
+
+  test("readVerified throws on a tampered layout (row in wrong shard)") {
+    val out = tmpDir()
+    val docs = (1L to 200L).map(i => (i, i * 3)).toDF("doc_id", "v")
+    ShardedSink.writeSharded(docs, $"doc_id", out)
+    // move one shard's file into another shard directory: its rows'
+    // md5 prefixes no longer match the directory they sit in
+    val dirs = Files.list(Paths.get(out)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("shard=")).toSeq.sorted
+    val victim = Files.list(dirs.head).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq.head
+    Files.move(victim,
+      dirs(1).resolve("smuggled-" + victim.getFileName.toString))
+    val e = intercept[Exception] {
+      ShardedSink.readVerified(spark, out, $"doc_id").count()
+    }
+    assert(String.valueOf(e.getMessage)
+        .contains("read-back contract violated") ||
+      Option(e.getCause).exists(c => String.valueOf(c.getMessage)
+        .contains("read-back contract violated")), e.toString)
+  }
+
   test("plan: one hash exchange on shard, per-partition sort, no global sort") {
     val docs = (1L to 100L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val out = tmpDir()
