@@ -14,6 +14,7 @@ object Verify {
     // to SparkEntry.scaleFamily) for fast local iteration on one
     // oracle and for the standing sf1 gate; the driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .filter(_.trim.nonEmpty) // set-but-empty means "all", not "none"
       .map(_.split(",").map(_.trim).flatMap {
         case "@scale" => SparkEntry.scaleFamily
         case n        => Seq(n)

@@ -1,17 +1,23 @@
 #!/bin/bash
-# Standing sf1 correctness gate: re-verify the scale family
-# (SparkEntry.scaleFamily) rows+schema+hash against DuckDB
-# on the 10x data point, and write the driver-shaped artifact.
+# Standing sf1 correctness gate: re-verify the FULL query catalog
+# rows+schema+hash against DuckDB on the 10x data point, and write the
+# driver-shaped artifact. Oracles DuckDB cannot finish at sf1 (q45/q94:
+# quadratic record-domain plans the engine's blocked operators avoid)
+# are capped at ORACLE_TIMEOUT_S and recorded as Spark-only row checks
+# ("spark_only": true) rather than omitted.
 #
-#   tools/sf1_gate.sh <roundN>       # -> CORRECTNESS_sf1_r{N}.json
+#   tools/sf1_gate.sh <roundN>            # full catalog (default)
+#   tools/sf1_gate.sh <roundN> @scale     # legacy scale-family subset
 #
 # Regenerate the data first if testdata/sf1 is absent:
 #   python3 tools/make_scale_data.py 1
 set -euo pipefail
 cd "$(dirname "$0")/.."
-ROUND="${1:?usage: sf1_gate.sh <roundN>}"
+ROUND="${1:?usage: sf1_gate.sh <roundN> [@scale]}"
+ONLY="${2:-}"
 OUT=/tmp/verify_sf1
-SPARK_GRAFT_VERIFY_ONLY=@scale SPARK_GRAFT_CPUS=32 \
+SPARK_GRAFT_VERIFY_ONLY="$ONLY" SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Verify testdata/sf1 $OUT" >/dev/null
-python3 tools/oracle_check.py testdata/sf1 "$OUT" \
+ORACLE_TIMEOUT_S="${ORACLE_TIMEOUT_S:-90}" \
+  python3 tools/oracle_check.py testdata/sf1 "$OUT" \
   "CORRECTNESS_sf1_r${ROUND}.json"
