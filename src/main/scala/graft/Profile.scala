@@ -23,29 +23,42 @@ object Profile {
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def c = Tables.load(spark, sfDir, "customer")
-    def o = Tables.load(spark, sfDir, "orders")
-      .filter(col("o_orderdate") >= lit("1996-01-01")
-        && col("o_orderdate") < lit("1999-01-01"))
-    def l = Tables.load(spark, sfDir, "lineitem")
-    def su = Tables.load(spark, sfDir, "supplier")
-    def n = Tables.load(spark, sfDir, "nation")
-    def r = Tables.load(spark, sfDir, "region")
-      .filter(col("r_name") === "ASIA")
+    // fresh table instances per prefix build (shared vals would leak
+    // resolved attribute ids across the independently-built plans)
+    def tables() = {
+      val c = Tables.load(spark, sfDir, "customer")
+      val o = Tables.load(spark, sfDir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01")
+          && col("o_orderdate") < lit("1999-01-01"))
+      val l = Tables.load(spark, sfDir, "lineitem")
+      val su = Tables.load(spark, sfDir, "supplier")
+      val n = Tables.load(spark, sfDir, "nation")
+      val r = Tables.load(spark, sfDir, "region")
+        .filter(col("r_name") === "ASIA")
+      (c, o, l, su, n, r)
+    }
 
     val prefixes: Seq[(String, () => DataFrame)] = Seq(
-      "1 lineitem scan" -> (() => l),
-      "2 orders scan+filter" -> (() => o),
-      "3 orders joins lineitem" -> (() => o.join(l,
-        o("o_orderkey") === l("l_orderkey"))),
-      "4 + customer" -> (() => c.join(o, c("c_custkey") === o("o_custkey"))
-        .join(l, o("o_orderkey") === l("l_orderkey"))),
-      "5 + supplier (colocated cond)" -> (() =>
+      "1 lineitem scan" -> (() => tables()._3),
+      "2 orders scan+filter" -> (() => tables()._2),
+      "3 orders joins lineitem" -> (() => {
+        val (_, o, l, _, _, _) = tables()
+        o.join(l, o("o_orderkey") === l("l_orderkey"))
+      }),
+      "4 + customer" -> (() => {
+        val (c, o, l, _, _, _) = tables()
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+      }),
+      "5 + supplier (colocated cond)" -> (() => {
+        val (c, o, l, su, _, _) = tables()
         c.join(o, c("c_custkey") === o("o_custkey"))
           .join(l, o("o_orderkey") === l("l_orderkey"))
           .join(su, l("l_suppkey") === su("s_suppkey")
-            && c("c_nationkey") === su("s_nationkey"))),
-      "6 full q56 (+nation/region+agg)" -> (() =>
+            && c("c_nationkey") === su("s_nationkey"))
+      }),
+      "6 full q56 (+nation/region+agg)" -> (() => {
+        val (c, o, l, su, n, r) = tables()
         c.join(o, c("c_custkey") === o("o_custkey"))
           .join(l, o("o_orderkey") === l("l_orderkey"))
           .join(su, l("l_suppkey") === su("s_suppkey")
@@ -56,7 +69,8 @@ object Profile {
           .agg(graft.queries.Catalog.drevenueCol(col("l_extendedprice"),
             col("l_discount")).as("revenue"),
             count(lit(1)).as("n_items"))
-          .orderBy(col("n_name"))))
+          .orderBy(col("n_name"))
+      }))
 
     def time(f: () => DataFrame): Double = {
       val t0 = System.nanoTime(); f().count(); (System.nanoTime() - t0) / 1e9
@@ -69,6 +83,17 @@ object Profile {
       println(f"$label%-32s med=$med%6.3f s  delta=${med - prev}%+6.3f s")
       prev = med
     }
+    // A/B: shuffled hash join vs sort-merge for the one real exchange
+    // (orders joins lineitem) — SHJ skips both sort phases; spillable
+    // since Spark 3.2 so it is not an OOM trade.
+    val full = prefixes.last._2
+    for (pref <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", pref)
+      time(full)
+      val med = (1 to 5).map(_ => time(full)).sorted.apply(2)
+      println(f"full q56 preferSortMergeJoin=$pref%-5s med=$med%6.3f s")
+    }
+    spark.conf.unset("spark.sql.join.preferSortMergeJoin")
     spark.stop()
   }
 }
