@@ -1,0 +1,177 @@
+#!/usr/bin/env python3
+"""Differential SQL fuzz gate: generate N seeded random queries in the
+ANSI subset Spark and DuckDB share, run them through BOTH engines on
+the same parquet tables, and hash-compare results.
+
+The generator stays inside the dialect-common, determinism-safe space
+the hand-written oracle catalog already established:
+  - aggregates are exact (COUNT, SUM of ints CAST AS BIGINT, MIN/MAX,
+    SUM of money columns via DECIMAL(18,2) cast back to DOUBLE) — no
+    order-dependent float accumulation;
+  - every query ends in ORDER BY over ALL projected columns (total
+    order, so the row hash is deterministic in both engines);
+  - predicates use literals drawn from each column's actual value
+    range so selectivity varies instead of collapsing to 0 or 100%.
+
+Shapes: single-table filter+aggregate, FK join + aggregate (orders
+joins customer / lineitem joins orders), and filter+project+LIMIT over
+a total order. Timestamps stay out of projections (engines format them
+identically through parquet but NTZ vs TZ display is a known trap; the
+shipping catalog pins them separately, e.g. q04/q101).
+
+Usage: fuzz_sql.py [N] [seed] [sfDir] [jsonOut]
+Writes the query map, then the caller runs:
+  sbt "runMain graft.SqlVerify <sfDir> /tmp/fuzz_out <jsonOut>"
+  python3 tools/oracle_check.py <sfDir> /tmp/fuzz_out FUZZ_r{N}.json
+"""
+import json
+import random
+import sys
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 13
+SF_DIR = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+OUT = sys.argv[4] if len(sys.argv) > 4 else "/tmp/fuzz_sql.json"
+
+rng = random.Random(SEED)
+
+# column model: (name, kind) — kind drives literal generation and
+# whether the column may appear in GROUP BY / aggregates
+TABLES = {
+    "lineitem": {
+        "group": ["l_returnflag", "l_linestatus"],
+        "int": ["l_quantity", "l_linenumber", "l_orderkey", "l_partkey",
+                "l_suppkey"],
+        "money": ["l_extendedprice", "l_discount", "l_tax"],
+    },
+    "orders": {
+        "group": ["o_orderstatus", "o_orderpriority"],
+        "int": ["o_orderkey", "o_custkey"],
+        "money": ["o_totalprice"],
+    },
+    "customer": {
+        "group": ["c_mktsegment"],
+        "int": ["c_custkey", "c_nationkey"],
+        "money": ["c_acctbal"],
+    },
+    "documents": {
+        "group": ["lang", "source"],
+        "int": ["doc_id", "n_chars"],
+        "money": [],
+    },
+}
+# value ranges measured from the generator's distributions. Key
+# domains scale linearly with sf (orders = 1.5M*sf rows, etc.), so
+# literals are drawn from the RESOLVED sf's range — sf1-sized literals
+# at sf0.01 would make most range predicates empty or all-pass and the
+# fuzz would stop exercising partial selectivity (first cut measured
+# 21/60 zero-row results).
+SF = float(__import__("re").search(r"sf([\d.]+)", SF_DIR).group(1)) \
+    if __import__("re").search(r"sf([\d.]+)", SF_DIR) else 0.01
+
+
+def _k(n):
+    return max(2, int(n * SF))
+
+
+RANGES = {
+    "l_quantity": (1, 50), "l_linenumber": (1, 7),
+    "l_orderkey": (1, _k(1_500_000)), "l_partkey": (1, _k(200_000)),
+    "l_suppkey": (1, _k(10_000)),
+    "o_orderkey": (1, _k(1_500_000)), "o_custkey": (1, _k(150_000)),
+    "c_custkey": (1, _k(150_000)), "c_nationkey": (0, 24),
+    "doc_id": (1, _k(50_000)), "n_chars": (30, 700),
+}
+MONEY_RANGES = {
+    "l_extendedprice": (900, 105000), "l_discount": (0, 0.1),
+    "l_tax": (0, 0.08), "o_totalprice": (1000, 500000),
+    "c_acctbal": (-1000, 10000),
+}
+FK = [
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+]
+
+
+def lit_for(col):
+    if col in RANGES:
+        lo, hi = RANGES[col]
+        return str(rng.randint(lo, hi))
+    lo, hi = MONEY_RANGES[col]
+    return f"{rng.uniform(lo, hi):.2f}"
+
+
+def pred(table):
+    cols = TABLES[table]
+    c = rng.choice(cols["int"] + cols["money"])
+    op = rng.choice(["<", ">", "<=", ">="])
+    return f"{c} {op} {lit_for(c)}"
+
+
+def aggs(table, alias=""):
+    """exact aggregate list + matching aliases (both dialects)."""
+    cols = TABLES[table]
+    out = [("n_rows", "CAST(COUNT(*) AS BIGINT)")]
+    for c in rng.sample(cols["int"], min(2, len(cols["int"]))):
+        out.append((f"sum_{c}", f"CAST(SUM({alias}{c}) AS BIGINT)"))
+        out.append((f"max_{c}", f"MAX({alias}{c})"))
+    for c in cols["money"][:1]:
+        out.append((f"dsum_{c}",
+                    f"CAST(SUM(CAST({alias}{c} AS DECIMAL(18,2))) "
+                    f"AS DOUBLE)"))
+    return out
+
+
+def q_single_agg(i):
+    t = rng.choice(list(TABLES))
+    g = rng.sample(TABLES[t]["group"], rng.randint(1, len(TABLES[t]["group"])))
+    where = " AND ".join(pred(t) for _ in range(rng.randint(0, 2)))
+    a = aggs(t)
+    sel = ", ".join(g + [f"{expr} AS {name}" for name, expr in a])
+    sql = f"SELECT {sel} FROM {t}"
+    if where:
+        sql += f" WHERE {where}"
+    sql += f" GROUP BY {', '.join(g)} ORDER BY {', '.join(g)}"
+    return sql
+
+
+def q_join_agg(i):
+    lt, rt, lk, rk = rng.choice(FK)
+    g = rng.sample(TABLES[rt]["group"] + TABLES[lt]["group"], 2)
+    where = pred(lt)
+    a = aggs(lt)
+    sel = ", ".join(g + [f"{expr} AS {name}" for name, expr in a])
+    return (f"SELECT {sel} FROM {lt} JOIN {rt} ON {lk} = {rk} "
+            f"WHERE {where} GROUP BY {', '.join(g)} "
+            f"ORDER BY {', '.join(g)}")
+
+
+def q_topk(i):
+    t = rng.choice(["orders", "customer", "documents"])
+    cols = TABLES[t]
+    proj = cols["int"][:2] + cols["group"][:1]
+    where = pred(t)
+    k = rng.choice([5, 20, 100])
+    order = ", ".join(proj)
+    return (f"SELECT {', '.join(proj)} FROM {t} WHERE {where} "
+            f"ORDER BY {order} LIMIT {k}")
+
+
+SHAPES = [q_single_agg, q_join_agg, q_topk]
+
+
+def main():
+    queries = {}
+    for i in range(N):
+        shape = SHAPES[i % len(SHAPES)]
+        queries[f"fz{i:03d}_{shape.__name__[2:]}"] = shape(i)
+    with open(OUT, "w") as f:
+        json.dump(queries, f, indent=1, sort_keys=True)
+    print(f"wrote {N} queries (seed {SEED}) to {OUT}")
+    print("next: sbt \"runMain graft.SqlVerify %s /tmp/fuzz_out %s\" && "
+          "python3 tools/oracle_check.py %s /tmp/fuzz_out"
+          % (SF_DIR, OUT, SF_DIR))
+
+
+if __name__ == "__main__":
+    main()
