@@ -157,7 +157,57 @@ def q_topk(i):
             f"ORDER BY {order} LIMIT {k}")
 
 
-SHAPES = [q_single_agg, q_join_agg, q_topk]
+def q_left_join(i):
+    """LEFT JOIN with null-producing misses, COALESCEd before
+    projection so ordering and hashing stay engine-stable."""
+    lt, rt, lk, rk = rng.choice(FK)
+    g = rng.choice(TABLES[rt]["group"])
+    where = pred(lt)
+    return (f"SELECT COALESCE({g}, '<none>') AS {g}, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(COUNT({rk}) AS BIGINT) AS n_matched "
+            f"FROM {lt} LEFT JOIN {rt} ON {lk} = {rk} "
+            f"WHERE {where} "
+            f"GROUP BY COALESCE({g}, '<none>') ORDER BY {g}")
+
+
+def q_having(i):
+    t = rng.choice(list(TABLES))
+    g = rng.choice(TABLES[t]["group"])
+    c = rng.choice(TABLES[t]["int"])
+    thr = rng.randint(2, 50)
+    return (f"SELECT {g}, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"MIN({c}) AS min_{c}, MAX({c}) AS max_{c} "
+            f"FROM {t} GROUP BY {g} "
+            f"HAVING COUNT(*) >= {thr} ORDER BY {g}")
+
+
+def q_distinct(i):
+    t = rng.choice(list(TABLES))
+    g = rng.choice(TABLES[t]["group"])
+    c = rng.choice(TABLES[t]["int"])
+    where = pred(t)
+    return (f"SELECT {g}, CAST(COUNT(DISTINCT {c}) AS BIGINT) "
+            f"AS nd_{c}, CAST(COUNT(*) AS BIGINT) AS n_rows "
+            f"FROM {t} WHERE {where} GROUP BY {g} ORDER BY {g}")
+
+
+def q_case_agg(i):
+    """conditional aggregation — SUM(CASE WHEN) over an int measure."""
+    t = rng.choice(list(TABLES))
+    g = rng.choice(TABLES[t]["group"])
+    c = rng.choice(TABLES[t]["int"])
+    cond = pred(t)
+    return (f"SELECT {g}, "
+            f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS n_cond, "
+            f"CAST(SUM(CASE WHEN {cond} THEN {c} ELSE 0 END) AS BIGINT) "
+            f"AS sum_cond "
+            f"FROM {t} GROUP BY {g} ORDER BY {g}")
+
+
+SHAPES = [q_single_agg, q_join_agg, q_topk,
+          q_left_join, q_having, q_distinct, q_case_agg]
 
 
 def main():
