@@ -206,8 +206,24 @@ def q_case_agg(i):
             f"FROM {t} GROUP BY {g} ORDER BY {g}")
 
 
+def q_time_window(i):
+    """timestamp predicates over events (ts stays OUT of the
+    projection: NTZ display is engine-specific, wall-clock comparison
+    is not — the session pins UTC so both engines compare the same
+    instants)."""
+    d1 = rng.randint(1, 25)
+    d2 = rng.randint(d1, 28)
+    return (f"SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            f"CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+            f"FROM events "
+            f"WHERE ts >= TIMESTAMP '2024-01-{d1:02d} 00:00:00' "
+            f"AND ts < TIMESTAMP '2024-01-{d2:02d} 23:59:59' "
+            f"GROUP BY event_type ORDER BY event_type")
+
+
 SHAPES = [q_single_agg, q_join_agg, q_topk,
-          q_left_join, q_having, q_distinct, q_case_agg]
+          q_left_join, q_having, q_distinct, q_case_agg,
+          q_time_window]
 
 
 def main():
