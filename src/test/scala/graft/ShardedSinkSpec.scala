@@ -72,6 +72,27 @@ class ShardedSinkSpec extends SparkSpec {
         .contains("read-back contract violated")), e.toString)
   }
 
+  test("a shard-filtered read prunes to that one partition directory") {
+    val out = tmpDir()
+    val docs = (1L to 400L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    ShardedSink.writeSharded(docs, $"doc_id", out, nibbles = 1)
+    val one = spark.read.parquet(out)
+      .filter($"shard" === "a").select($"doc_id")
+    one.collect()
+    val scan = one.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    // partition pruning must reach the scan: of the 16 shard dirs the
+    // loader reads exactly one — the property that lets a resumed
+    // trainer re-read a single shard without scanning the corpus
+    assert(scan.metadata("PartitionFilters").contains("shard"),
+      scan.metadata("PartitionFilters"))
+    assert(scan.relation.location.inputFiles
+      .count(_.contains("shard=")) >= 16) // layout has all 16
+    val partsRead = scan.metrics("numPartitions").value
+    assert(partsRead == 1, s"expected 1 pruned partition, got $partsRead")
+  }
+
   test("plan: one hash exchange on shard, per-partition sort, no global sort") {
     val docs = (1L to 100L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val out = tmpDir()
