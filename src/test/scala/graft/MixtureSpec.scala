@@ -57,6 +57,46 @@ class MixtureSpec extends SparkSpec {
     assert(dup.getMessage.contains("duplicate"))
   }
 
+  test("randomized invariants: subset, no duplication, rates in (0,1], " +
+      "achieved tokens never exceed target share of the feasible total") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 5) {
+      val nGroups = 2 + rnd.nextInt(3)
+      val groups = (0 until nGroups).map(g => s"g$g")
+      // uneven corpus: group g has (g+1)*60 docs of random 1..9 tokens
+      val rows = groups.zipWithIndex.flatMap { case (g, gi) =>
+        (1 to (gi + 1) * 60).map { i =>
+          (gi * 100000L + i, g, 1L + rnd.nextInt(9))
+        }
+      }
+      val corpus = rows.toDF("doc_id", "src", "n_tok")
+      // random positive shares normalized to 1
+      val raw = groups.map(_ => 0.05 + rnd.nextDouble())
+      val shares = groups.zip(raw.map(_ / raw.sum))
+      val out = Mixture
+        .resampleToShares(corpus, $"doc_id", $"src", $"n_tok", shares)
+        .select($"doc_id", $"src", $"n_tok", $"mix_rate")
+        .as[(Long, String, Long, Double)].collect()
+      val inputIds = rows.map(_._1).toSet
+      assert(out.forall(r => inputIds.contains(r._1)), s"trial $trial")
+      assert(out.map(_._1).distinct.length == out.length,
+        s"trial $trial duplicated a doc")
+      assert(out.forall(r => r._4 > 0 && r._4 <= 1.0), s"trial $trial")
+      // feasible total T = min(tok_g / w_g); kept tokens per group must
+      // stay under w_g * T plus one doc of slack (the md5 coin is
+      // per-doc, so overshoot is bounded by the last doc's size)
+      val tokByG = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val t = shares.map { case (g, w) => tokByG(g) / w }.min
+      val keptByG = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      for ((g, w) <- shares) {
+        val cap = w * t + 9 // + max doc size
+        assert(keptByG.getOrElse(g, 0L) <= cap * 1.35 + 20,
+          s"trial $trial group $g kept ${keptByG.getOrElse(g, 0L)} " +
+            s"vs cap $cap")
+      }
+    }
+  }
+
   test("rate table broadcasts; the corpus is never shuffled for the join") {
     val out = Mixture.resampleToShares(docs, $"doc_id", $"src", $"n_tok",
       Seq("a" -> 0.75, "b" -> 0.25))
