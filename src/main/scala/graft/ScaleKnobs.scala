@@ -37,6 +37,29 @@ object ScaleKnobs {
       println(f"nbits=$bits%-2d buckets=${1 << bits}%-4d " +
         f"pairs=$pairs%12d  time=$sec%8.2f s")
     }
+    // q45's analog dial: the n_chars blocking width. Narrower buckets
+    // thin each block's quadratic candidate scan; pairs whose lengths
+    // fall in different buckets are the recall price (the internal
+    // token-count log-bucket already bounds the size RATIO, this key
+    // bounds the absolute length band).
+    val docs = Tables.load(spark, sfDir, "documents")
+    println(s"# q45 blocking-width knob @ $sfDir (threshold 0.8)")
+    Seq(500, 250, 100).foreach { width =>
+      def run(): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val n = graft.operators.Dedup.jaccardPairs(docs, col("doc_id"),
+            col("text"),
+            blockKeys = Seq(col("lang"),
+              org.apache.spark.sql.functions
+                .floor(col("n_chars") / width.toDouble).cast("int")),
+            threshold = 0.8)
+          .count()
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      run() // warm
+      val (pairs, sec) = run()
+      println(f"width=$width%-4d pairs=$pairs%12d  time=$sec%8.2f s")
+    }
     spark.stop()
   }
 }
