@@ -61,17 +61,23 @@ object ShardedSink {
     * loader.
     */
   def readVerified(spark: org.apache.spark.sql.SparkSession,
-                   outDir: String, id: Column): DataFrame = {
+                   outDir: String, id: Column,
+                   nibbles: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perFile = Window.partitionBy(col("_f")).orderBy(col("_ri"))
+    // Hive partition discovery may type-infer `shard` as int when every
+    // populated directory name is all-digits (plausible on tiny
+    // corpora), dropping leading zeros ('07' → 7). lpad after the
+    // string cast restores the canonical `nibbles`-wide hex form so the
+    // directory-vs-digest comparison never false-positives on types.
+    val dirShard = lpad(col("shard").cast("string"), nibbles, "0")
     spark.read.parquet(outDir)
-      .withColumn("shard", col("shard").cast("string"))
+      .withColumn("shard", dirShard)
       .withColumn("_f", col("_metadata.file_path"))
       .withColumn("_ri", col("_metadata.row_index"))
       .withColumn("_prev", lag(col("shuffle_key"), 1).over(perFile))
       .filter(assert_true(
-        col("shard") === col("shuffle_key")
-          .substr(lit(1), length(col("shard"))) &&
+        col("shard") === col("shuffle_key").substr(lit(1), lit(nibbles)) &&
           col("shuffle_key") === md5(id.cast("string")) &&
           (col("_prev").isNull || col("_prev") <= col("shuffle_key")),
         concat(lit("ShardedSink read-back contract violated in file "),

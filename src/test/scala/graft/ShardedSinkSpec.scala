@@ -51,6 +51,22 @@ class ShardedSinkSpec extends SparkSpec {
       (1L to 200L).toSet)
   }
 
+  test("readVerified survives all-numeric shard directory names") {
+    // ids chosen so every populated shard directory name is all-digits
+    // (md5 prefixes "02","16","45","65") — Hive partition discovery
+    // then type-infers `shard` as int and '02' round-trips as 2.
+    // readVerified must restore the canonical zero-padded hex form
+    // rather than throw a false contract violation.
+    val out = tmpDir()
+    val docs = Seq(27L, 6L, 9L, 11L).map(i => (i, i * 3)).toDF("doc_id", "v")
+    ShardedSink.writeSharded(docs, $"doc_id", out)
+    val back = ShardedSink.readVerified(spark, out, $"doc_id")
+    assert(back.select($"shard").as[String].collect().toSet
+      .contains("02"))
+    assert(back.select($"doc_id").as[Long].collect().toSet ==
+      Set(27L, 6L, 9L, 11L))
+  }
+
   test("readVerified throws on a tampered layout (row in wrong shard)") {
     val out = tmpDir()
     val docs = (1L to 200L).map(i => (i, i * 3)).toDF("doc_id", "v")

@@ -23,6 +23,7 @@ and the honest artifact says exactly that rather than omitting them.
 import json
 import sys
 import threading
+import time
 
 import duckdb
 import pyarrow.parquet as pq
@@ -77,17 +78,30 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
                              "hash_match": False, "err": "no spark output"}
             continue
         got = pq.ParquetDataset(files).read().to_pandas()
-        timeout_s = float(os.environ.get("ORACLE_TIMEOUT_S", "0")) or None
+        try:
+            timeout_s = float(
+                os.environ.get("ORACLE_TIMEOUT_S", "0")) or None
+        except ValueError:
+            sys.exit("ORACLE_TIMEOUT_S must be a number (seconds), got "
+                     f"{os.environ['ORACLE_TIMEOUT_S']!r}")
+        # Each oracle runs on its own cursor: a Timer that fires in the
+        # window between execute-completion and cancel() interrupts only
+        # this (idle, about-to-be-dropped) cursor, never the next query.
+        cur = con.cursor()
         timed_out = []
         if timeout_s:
             timer = threading.Timer(timeout_s,
                                     lambda: (timed_out.append(True),
-                                             con.interrupt()))
+                                             cur.interrupt()))
             timer.start()
+        started = time.monotonic()
         try:
-            want = con.execute(oracle[name]).df()
+            want = cur.execute(oracle[name]).df()
         except Exception as e:
-            if timed_out:
+            # Classify by elapsed time too: interrupt() may land without
+            # the Timer body having appended yet.
+            if timed_out or (timeout_s
+                             and time.monotonic() - started >= timeout_s):
                 # DuckDB could not finish inside the cap: keep the query
                 # in the artifact as a Spark-only row check, not a FAIL
                 # and not an omission.
@@ -111,6 +125,7 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
         finally:
             if timeout_s:
                 timer.cancel()
+            cur.close()
         problems = []
         if sorted(got.columns) != sorted(want.columns):
             problems.append(f"schema {sorted(got.columns)} vs {sorted(want.columns)}")
