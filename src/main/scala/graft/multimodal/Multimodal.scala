@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, plus partition-batched
   * feature extraction.
   *
-  * The Spark-side plumbing (schema, partitioning, batch iteration,
-  * output shape) is real and tested; the actual media decode is a
-  * clearly-marked deterministic stand-in — this container has no image
-  * or audio codecs, so `decodeStub` computes structural features
-  * (length, byte histogram, rolling checksum) that exercise the exact
-  * same data path a JNI/FFI decoder would.
+  * Image (PNG/JPEG via `javax.imageio`) and audio (WAV/PCM via
+  * `javax.sound.sampled`) decode are REAL pure-JVM codecs — encoded
+  * payloads are genuine files a browser/player opens, and decode
+  * recovers true dimensions / pixel values / sample values (oracled
+  * end-to-end by q111/q112: the synthesized content is a closed-form
+  * function of the row key, so DuckDB recomputes the expected decoded
+  * stats independently). Video decode has no JDK codec; it keeps the
+  * structural stand-in (`decodeStub`) — honest stub, same data path a
+  * JNI/FFI decoder would use.
   *
   * Scale: decode is a mapPartitions pass — no shuffle, arbitrary
   * per-partition native batching; partition sizing is controlled by the
@@ -43,10 +46,171 @@ object Multimodal {
       .as[MediaAsset]
   }
 
-  /** STUB decode — stands in for the real codec call. Deterministic
+  /** Decoded image features: true codec-recovered dimensions and the
+    * red-channel pixel sum (lossless for PNG, so exactly oracle-able).
+    */
+  final case class ImageFeatures(asset_id: Long, width: Int, height: Int,
+                                 pixel_sum: Long)
+
+  /** Decoded audio features: true frame count and signed-sample sum
+    * recovered from the WAV container (PCM is lossless — oracle-able).
+    */
+  final case class AudioFeatures(asset_id: Long, n_frames: Long,
+                                 sample_sum: Long)
+
+  /** Deterministic grayscale test pattern: pixel (x,y) has value
+    * `(seed*31 + 7x + 13y) mod 256` on all three channels. The SAME
+    * closed form is recomputable in plain SQL (generate_series), which
+    * is what lets a real PNG encode→decode round trip be hash-oracled
+    * by an independent engine.
+    */
+  def encodePng(seed: Long, width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = ((seed * 31 + 7L * x + 13L * y) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Same pattern through the lossy codec — JPEG preserves dimensions
+    * exactly (spec-gated) even though pixel values are approximate.
+    */
+  def encodeJpeg(seed: Long, width: Int, height: Int): Array[Byte] = {
+    val png = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(encodePng(seed, width, height)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(png, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic 16-bit mono PCM WAV: sample i is
+    * `((seed*31 + 11i) mod 65536) - 32768`, `nFrames` frames at 8 kHz.
+    * A genuine RIFF/WAVE file any player opens.
+    */
+  def encodeWav(seed: Long, nFrames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s = (((seed * 31 + 11L * i) % 65536) - 32768).toShort
+      pcm(2 * i) = (s & 0xff).toByte            // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Synthesize real PNG assets from the documents table, one per
+    * `every`-th doc_id; dimensions are a closed form of the id
+    * (width 8..31, height 8..31) that the oracle recomputes. The
+    * payload column carries genuine PNG bytes.
+    */
+  def imageAssetsFromDocuments(docs: DataFrame, every: Int = 5)
+      : Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") % every === 0)
+      .as[Long].mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 24).toInt
+          val h = (8 + (id * 7) % 24).toInt
+          // width/height deliberately NOT recorded on the asset:
+          // decode must recover them from the codec, not the metadata
+          MediaAsset(id, "png", encodePng(id, w, h), 0, 0, 0L)
+        }
+      }
+  }
+
+  /** Synthesize real WAV assets: `256 + id % 512` frames each. */
+  def audioAssetsFromDocuments(docs: DataFrame, every: Int = 5)
+      : Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") % every === 0)
+      .as[Long].mapPartitions { it =>
+        it.map { id =>
+          val n = (256 + id % 512).toInt
+          MediaAsset(id, "wav", encodeWav(id, n), 0, 0, n * 1000L / 8000L)
+        }
+      }
+  }
+
+  /** REAL image decode (`javax.imageio`, PNG/JPEG/GIF/BMP): recovers
+    * true dimensions and red-channel pixel sum from the payload bytes.
+    * Partition-batched map-only pass; an undecodable payload fails
+    * loudly with the asset id rather than nulling out.
+    */
+  def decodeImageFeatures(assets: Dataset[MediaAsset])
+      : Dataset[ImageFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.payload))
+        require(img != null, s"asset ${a.asset_id}: undecodable image")
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            sum += (img.getRGB(x, y) >> 16) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ImageFeatures(a.asset_id, img.getWidth, img.getHeight, sum)
+      }
+    }
+  }
+
+  /** REAL audio decode (`javax.sound.sampled`, WAV/PCM): parses the
+    * RIFF container, recovers frame count and the sum of signed 16-bit
+    * samples. Map-only, loud on undecodable payloads.
+    */
+  def decodeAudioFeatures(assets: Dataset[MediaAsset])
+      : Dataset[AudioFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(a.payload))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"asset ${a.asset_id}: expected 16-bit mono PCM, got $fmt")
+        val bytes = ais.readAllBytes()
+        ais.close()
+        val nFrames = bytes.length / 2
+        var sum = 0L
+        var i = 0
+        while (i < nFrames) {
+          val lo = bytes(2 * i) & 0xff
+          val hi = bytes(2 * i + 1).toInt // sign-extends the high byte
+          sum += (hi << 8) | lo
+          i += 1
+        }
+        AudioFeatures(a.asset_id, nFrames.toLong, sum)
+      }
+    }
+  }
+
+  /** STUB decode for kinds with no pure-JVM codec (video). Deterministic
     * structural features only; a production build would swap the body
     * for the JNI/FFI decoder while keeping the signature and the
-    * partition-batched driver loop identical.
+    * partition-batched driver loop identical. Image and audio use the
+    * REAL decoders above.
     */
   private def decodeStub(payload: Array[Byte]): (Long, Array[Long]) = {
     var checksum = 17L

@@ -46,6 +46,60 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.toSet == expected)
   }
 
+  test("PNG decode recovers exact dimensions and pixel sum (real codec)") {
+    val assets = Multimodal.imageAssetsFromDocuments(docs, every = 50)
+    // payloads are genuine PNGs: magic bytes present
+    val first = assets.orderBy($"asset_id").head()
+    assert(first.payload.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    assert(first.width == 0 && first.height == 0) // decode can't cheat
+    val feats = Multimodal.decodeImageFeatures(assets).collect()
+      .map(f => f.asset_id -> f).toMap
+    assert(feats.nonEmpty)
+    for ((id, f) <- feats) {
+      val w = (8 + id % 24).toInt
+      val h = (8 + (id * 7) % 24).toInt
+      val expected = (for (x <- 0 until w; y <- 0 until h)
+        yield (id * 31 + 7 * x + 13 * y) % 256).sum
+      assert(f.width == w && f.height == h, s"asset $id dims")
+      assert(f.pixel_sum == expected, s"asset $id pixel sum")
+    }
+  }
+
+  test("JPEG decode recovers exact dimensions (real lossy codec)") {
+    val jpg = Multimodal.encodeJpeg(seed = 123L, width = 21, height = 14)
+    assert((jpg(0) & 0xff) == 0xd8 || (jpg(1) & 0xff) == 0xd8) // SOI marker
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpg))
+    assert(img.getWidth == 21 && img.getHeight == 14)
+  }
+
+  test("WAV decode recovers exact frame count and sample sum (real codec)") {
+    val assets = Multimodal.audioAssetsFromDocuments(docs, every = 50)
+    val first = assets.orderBy($"asset_id").head()
+    assert(new String(first.payload.take(4), "US-ASCII") == "RIFF")
+    val feats = Multimodal.decodeAudioFeatures(assets).collect()
+      .map(f => f.asset_id -> f).toMap
+    assert(feats.nonEmpty)
+    for ((id, f) <- feats) {
+      val n = (256 + id % 512).toInt
+      val expected = (0 until n)
+        .map(i => (id * 31 + 11L * i) % 65536 - 32768).sum
+      assert(f.n_frames == n, s"asset $id frames")
+      assert(f.sample_sum == expected, s"asset $id sample sum")
+    }
+  }
+
+  test("undecodable image payload fails loudly with the asset id") {
+    val bad = Seq(Multimodal.MediaAsset(7L, "png",
+      Array[Byte](1, 2, 3, 4), 0, 0, 0L)).toDS()
+    val e = intercept[Exception] {
+      Multimodal.decodeImageFeatures(bad).collect()
+    }
+    assert(e.toString.contains("7") ||
+      Option(e.getCause).exists(_.toString.contains("7")), e.toString)
+  }
+
   test("chunking splits payloads without losing bytes") {
     val assets = Multimodal.assetsFromDocuments(docs)
     val chunks = Multimodal.chunk(assets, chunkBytes = 100)
