@@ -114,7 +114,8 @@ object Dedup {
   def incrementalDedup(base: DataFrame, delta: DataFrame,
                        id: Column, text: Column,
                        numHashes: Int, bands: Int,
-                       shingleLen: Int = 3): DataFrame = {
+                       shingleLen: Int = 3,
+                       broadcastBatch: Option[Boolean] = None): DataFrame = {
     val baseBk = bandedBuckets(base, id, text, numHashes, bands, shingleLen)
     val deltaBk = bandedBuckets(delta, id, text, numHashes, bands, shingleLen)
     // Broadcast the delta buckets only when Catalyst's size estimate
@@ -128,12 +129,23 @@ object Dedup {
     // "broadcast disabled"), so parsing the string here would crash
     // exactly when the user asked for the shuffle path. The typed
     // accessor returns Long and handles -1.
+    // `broadcastBatch` overrides the estimate in either direction:
+    // stats on a freshly-computed bucket frame are estimates, and a
+    // pathological misestimate must not broadcast an oversized batch
+    // (Some(false)) or shuffle a tiny one (Some(true)) — the operator,
+    // not the planner, is accountable for the degrade path.
     val bcThreshold: Long =
       base.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-    val deltaBytes = deltaBk.queryExecution.optimizedPlan.stats.sizeInBytes
+    lazy val deltaBytes =
+      deltaBk.queryExecution.optimizedPlan.stats.sizeInBytes
+    val doBroadcast = broadcastBatch.getOrElse(
+      bcThreshold >= 0 && deltaBytes <= bcThreshold)
     val probeSide =
-      if (bcThreshold >= 0 && deltaBytes <= bcThreshold)
-        broadcast(deltaBk.as("d"))
+      if (doBroadcast) broadcast(deltaBk.as("d"))
+      else if (broadcastBatch.contains(false))
+        // an explicit opt-out must beat the planner's auto-broadcast,
+        // not just drop the hint — pin the shuffled hash join
+        deltaBk.as("d").hint("shuffle_hash")
       else deltaBk.as("d")
     val baseHits = baseBk.as("b")
       .join(probeSide, Seq("band", "sig"))

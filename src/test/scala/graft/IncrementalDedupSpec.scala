@@ -51,6 +51,36 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("broadcastBatch=Some(false) forces the shuffle path even when " +
+      "stats would broadcast") {
+    val out = Dedup.incrementalDedup(base, delta, $"doc_id", $"text", 8, 4,
+      broadcastBatch = Some(false))
+    val rows = out.select($"doc_id", $"is_new")
+      .as[(Long, Boolean)].collect().toMap
+    assert(rows(10L) == false && rows(11L) == true) // same verdicts
+    // the base-probe join must be the pinned shuffled hash join (the
+    // small delta SELF-join may still auto-broadcast — that one is not
+    // the 100 TB-side concern)
+    assert(out.queryExecution.executedPlan.toString
+      .contains("ShuffledHashJoin"), out.queryExecution.executedPlan)
+  }
+
+  test("broadcastBatch=Some(true) forces broadcast even when the " +
+      "session threshold disables it") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val out = Dedup.incrementalDedup(base, delta, $"doc_id", $"text", 8, 4,
+        broadcastBatch = Some(true))
+      val rows = out.select($"doc_id", $"is_new")
+        .as[(Long, Boolean)].collect().toMap
+      assert(rows(10L) == false && rows(11L) == true)
+      assert(out.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+    } finally spark.conf.set(key, saved)
+  }
+
   test("autoBroadcastJoinThreshold=-1 (broadcast disabled) degrades to " +
       "the shuffle path instead of crashing") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
