@@ -104,19 +104,58 @@ object Dedup {
     * sharing a band — first-wins within the batch), and `is_new`.
     *
     * Scale posture: the corpus side is index-shaped — its banded
-    * bucket rows are map-only to compute (and in production are
-    * materialized once and reused across batches; recomputing here
-    * keeps the query self-contained). The day's batch buckets
-    * BROADCAST into the base probe, so the 100 TB side is a map-only
-    * scan with zero shuffle; only the hit set (bounded by
-    * |delta| × bands) and the batch-internal self-join shuffle.
+    * bucket rows are map-only to compute, and in production are
+    * materialized ONCE via `writeBucketIndex` and probed per batch via
+    * `incrementalDedupIndexed` (measured, graft.AbIncDedup at sf1:
+    * probe-only 2.1 s vs recompute-per-batch 10.4 s — the index scan
+    * is ~100× cheaper than signature recompute, break-even after two
+    * batches; PLANS.md "q109 index"). Recomputing here keeps the
+    * oracled query self-contained. The day's batch buckets BROADCAST
+    * into the base probe, so the 100 TB side is a map-only scan with
+    * zero shuffle; only the hit set (bounded by |delta| × bands) and
+    * the batch-internal self-join shuffle.
     */
   def incrementalDedup(base: DataFrame, delta: DataFrame,
                        id: Column, text: Column,
                        numHashes: Int, bands: Int,
                        shingleLen: Int = 3,
-                       broadcastBatch: Option[Boolean] = None): DataFrame = {
-    val baseBk = bandedBuckets(base, id, text, numHashes, bands, shingleLen)
+                       broadcastBatch: Option[Boolean] = None): DataFrame =
+    incrementalDedupIndexed(
+      bandedBuckets(base, id, text, numHashes, bands, shingleLen),
+      delta, id, text, numHashes, bands, shingleLen, broadcastBatch)
+
+  /** Materialize the corpus's banded bucket rows once — the
+    * production shape of the incremental path: the standing corpus's
+    * minhash pipeline runs at ingest (or one backfill), and every
+    * daily batch probes the INDEX, never re-reading corpus text.
+    * Plain parquet, no layout requirement: in the probe join the
+    * index side is a map-only scan (the batch broadcasts into it),
+    * so no partitioning of the index can be exploited anyway.
+    */
+  def writeBucketIndex(base: DataFrame, id: Column, text: Column,
+                       numHashes: Int, bands: Int, path: String,
+                       shingleLen: Int = 3): Unit =
+    bandedBuckets(base, id, text, numHashes, bands, shingleLen)
+      .write.mode("overwrite").parquet(path)
+
+  /** Read a `writeBucketIndex` layout back as the base side of
+    * `incrementalDedupIndexed`.
+    */
+  def readBucketIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** `incrementalDedup` against an already-computed corpus bucket
+    * index (from `writeBucketIndex`/`readBucketIndex`, or any frame
+    * with (doc_id, band, sig) rows). The batch's buckets are computed
+    * fresh — the batch is the small, new side — and probe the index.
+    */
+  def incrementalDedupIndexed(baseBk: DataFrame, delta: DataFrame,
+                              id: Column, text: Column,
+                              numHashes: Int, bands: Int,
+                              shingleLen: Int = 3,
+                              broadcastBatch: Option[Boolean] = None)
+      : DataFrame = {
     val deltaBk = bandedBuckets(delta, id, text, numHashes, bands, shingleLen)
     // Broadcast the delta buckets only when Catalyst's size estimate
     // says they fit the session's broadcast threshold; an oversized
@@ -135,7 +174,7 @@ object Dedup {
     // (Some(false)) or shuffle a tiny one (Some(true)) — the operator,
     // not the planner, is accountable for the degrade path.
     val bcThreshold: Long =
-      base.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      baseBk.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     lazy val deltaBytes =
       deltaBk.queryExecution.optimizedPlan.stats.sizeInBytes
     val doBroadcast = broadcastBatch.getOrElse(

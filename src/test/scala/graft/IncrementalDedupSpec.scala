@@ -51,6 +51,37 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("materialized bucket index: probe-only path gives identical " +
+      "verdicts to recompute-per-batch") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bkidx").toString
+    Dedup.writeBucketIndex(base, $"doc_id", $"text",
+      numHashes = 8, bands = 4, path = dir)
+    val idx = Dedup.readBucketIndex(spark, dir)
+    assert(idx.columns.sorted.toSeq == Seq("band", "doc_id", "sig"))
+    val indexed = Dedup
+      .incrementalDedupIndexed(idx, delta, $"doc_id", $"text", 8, 4)
+      .select($"doc_id", $"base_match", $"delta_match", $"is_new")
+      .as[(Long, Option[Long], Option[Long], Boolean)].collect().sortBy(_._1)
+    val recomputed = Dedup
+      .incrementalDedup(base, delta, $"doc_id", $"text", 8, 4)
+      .select($"doc_id", $"base_match", $"delta_match", $"is_new")
+      .as[(Long, Option[Long], Option[Long], Boolean)].collect().sortBy(_._1)
+    assert(indexed.toSeq == recomputed.toSeq)
+    // and the index path must not touch corpus TEXT at all: its scan
+    // reads only the three index columns
+    val out = Dedup.incrementalDedupIndexed(idx, delta, $"doc_id", $"text", 8, 4)
+    out.collect()
+    // (string inspection: AQE nests the final scans out of reach of a
+    // plain TreeNode.collect)
+    val scanLines = out.queryExecution.executedPlan.toString
+      .linesIterator.filter(l =>
+        l.contains("FileScan parquet") && l.contains("graft_bkidx")).toSeq
+    assert(scanLines.nonEmpty, "no index scan in plan")
+    assert(scanLines.forall(l => !l.contains("text")),
+      s"index scan read corpus text:\n${scanLines.mkString("\n")}")
+  }
+
   test("broadcastBatch=Some(false) forces the shuffle path even when " +
       "stats would broadcast") {
     val out = Dedup.incrementalDedup(base, delta, $"doc_id", $"text", 8, 4,

@@ -221,9 +221,99 @@ def q_time_window(i):
             f"GROUP BY event_type ORDER BY event_type")
 
 
+# tables with a unique key column, for deterministic window ordering
+KEYED = [("orders", "o_orderkey"), ("customer", "c_custkey"),
+         ("documents", "doc_id")]
+
+
+def q_window_topk(i):
+    """ROW_NUMBER per group — rank computed over a measure with the
+    unique key as tiebreak, so the numbering is engine-deterministic."""
+    t, key = rng.choice(KEYED)
+    g = rng.choice(TABLES[t]["group"])
+    m = rng.choice(TABLES[t]["int"] + TABLES[t]["money"])
+    k = rng.choice([3, 10, 25])
+    return (f"SELECT {g}, {key}, CAST(rn AS BIGINT) AS rn FROM ("
+            f"SELECT {g}, {key}, ROW_NUMBER() OVER "
+            f"(PARTITION BY {g} ORDER BY {m} DESC, {key}) AS rn "
+            f"FROM {t}) s WHERE rn <= {k} ORDER BY {g}, {key}, rn")
+
+
+def q_running_sum(i):
+    """cumulative frame (ROWS UNBOUNDED PRECEDING..CURRENT ROW) over a
+    unique-keyed order — exact int arithmetic, engine-stable."""
+    t, key = rng.choice(KEYED)
+    g = rng.choice(TABLES[t]["group"])
+    c = rng.choice(TABLES[t]["int"])
+    where = pred(t)
+    return (f"SELECT {g}, {key}, CAST(SUM({c}) OVER "
+            f"(PARTITION BY {g} ORDER BY {key} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+            f"AS run_{c} FROM {t} WHERE {where} "
+            f"ORDER BY {g}, {key}, run_{c}")
+
+
+def q_lag(i):
+    """LAG with the null first-row COALESCEd to a sentinel."""
+    t, key = rng.choice(KEYED)
+    g = rng.choice(TABLES[t]["group"])
+    c = rng.choice(TABLES[t]["int"])
+    off = rng.choice([1, 2])
+    return (f"SELECT {g}, {key}, CAST(COALESCE(LAG({c}, {off}) OVER "
+            f"(PARTITION BY {g} ORDER BY {key}), -1) AS BIGINT) "
+            f"AS prev_{c} FROM {t} WHERE {pred(t)} "
+            f"ORDER BY {g}, {key}, prev_{c}")
+
+
+def q_setop(i):
+    """INTERSECT / EXCEPT / UNION (set semantics in both dialects)
+    between two differently-filtered projections of one table."""
+    t = rng.choice(list(TABLES))
+    g = rng.choice(TABLES[t]["group"])
+    c = rng.choice(TABLES[t]["int"])
+    op = rng.choice(["INTERSECT", "EXCEPT", "UNION"])
+    return (f"SELECT {g}, {c} FROM {t} WHERE {pred(t)} "
+            f"{op} "
+            f"SELECT {g}, {c} FROM {t} WHERE {pred(t)} "
+            f"ORDER BY {g}, {c}")
+
+
+def q_null_distinct(i):
+    """IS [NOT] DISTINCT FROM over NULLIF-manufactured nulls — the
+    null-equality surface where engines classically diverge."""
+    t = rng.choice(list(TABLES))
+    g = rng.choice(TABLES[t]["group"])
+    c = rng.choice(TABLES[t]["int"])
+    x, y = rng.randint(0, 9), rng.randint(0, 9)
+    neg = rng.choice(["", "NOT "])
+    return (f"SELECT {g}, "
+            f"CAST(SUM(CASE WHEN NULLIF({c} % 10, {x}) "
+            f"IS {neg}DISTINCT FROM NULLIF({c} % 10, {y}) "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS n_dist, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_rows "
+            f"FROM {t} GROUP BY {g} ORDER BY {g}")
+
+
+def q_rollup(i):
+    """GROUP BY ROLLUP — super-aggregate rows surface null-handling in
+    grouping columns; sentinel-COALESCEd (group cols are non-null in
+    the corpus) for a stable total order."""
+    t = rng.choice([t for t in TABLES if len(TABLES[t]["group"]) >= 2])
+    g1, g2 = rng.sample(TABLES[t]["group"], 2)
+    c = rng.choice(TABLES[t]["int"])
+    return (f"SELECT COALESCE({g1}, '<all>') AS {g1}, "
+            f"COALESCE({g2}, '<all>') AS {g2}, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(SUM({c}) AS BIGINT) AS sum_{c} "
+            f"FROM {t} GROUP BY ROLLUP({g1}, {g2}) "
+            f"ORDER BY {g1}, {g2}")
+
+
 SHAPES = [q_single_agg, q_join_agg, q_topk,
           q_left_join, q_having, q_distinct, q_case_agg,
-          q_time_window]
+          q_time_window,
+          q_window_topk, q_running_sum, q_lag,
+          q_setop, q_null_distinct, q_rollup]
 
 
 def main():
