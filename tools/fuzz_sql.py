@@ -309,11 +309,60 @@ def q_rollup(i):
             f"ORDER BY {g1}, {g2}")
 
 
+def q_exists(i):
+    """correlated [NOT] EXISTS — the decorrelation surface (Spark
+    rewrites to semi/anti join; DuckDB to its own mark join). Parent
+    and child filtered independently so match rates vary."""
+    par, chi, pk, ck = rng.choice(
+        [("customer", "orders", "c_custkey", "o_custkey"),
+         ("orders", "lineitem", "o_orderkey", "l_orderkey")])
+    g = rng.choice(TABLES[par]["group"])
+    neg = rng.choice(["", "NOT "])
+    return (f"SELECT {g}, CAST(COUNT(*) AS BIGINT) AS n_rows "
+            f"FROM {par} p WHERE {neg}EXISTS ("
+            f"SELECT 1 FROM {chi} c WHERE c.{ck} = p.{pk} "
+            f"AND {pred(chi)}) "
+            f"GROUP BY {g} ORDER BY {g}")
+
+
+def q_in_sub(i):
+    """[NOT] IN over a filtered key subquery. Keys are non-null in the
+    corpus, so NOT IN's tri-valued null trap stays out of scope (the
+    hand catalog pins null-key semantics separately)."""
+    par, chi, pk, ck = rng.choice(
+        [("customer", "orders", "c_custkey", "o_custkey"),
+         ("orders", "lineitem", "o_orderkey", "l_orderkey")])
+    g = rng.choice(TABLES[par]["group"])
+    c = rng.choice(TABLES[par]["int"])
+    neg = rng.choice(["", "NOT "])
+    return (f"SELECT {g}, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(SUM({c}) AS BIGINT) AS sum_{c} "
+            f"FROM {par} WHERE {pk} {neg}IN ("
+            f"SELECT {ck} FROM {chi} WHERE {pred(chi)}) "
+            f"GROUP BY {g} ORDER BY {g}")
+
+
+def q_scalar_sub(i):
+    """correlated scalar COUNT subquery in the projection — exercises
+    aggregate decorrelation with the zero-match → 0 edge (COUNT over
+    an empty correlated group must yield 0, not NULL)."""
+    par, chi, pk, ck = rng.choice(
+        [("customer", "orders", "c_custkey", "o_custkey"),
+         ("orders", "lineitem", "o_orderkey", "l_orderkey")])
+    k = rng.choice([50, 200])
+    return (f"SELECT {pk}, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {chi} c "
+            f"WHERE c.{ck} = p.{pk} AND {pred(chi)}) AS n_child "
+            f"FROM {par} p WHERE {pred(par)} "
+            f"ORDER BY {pk} LIMIT {k}")
+
+
 SHAPES = [q_single_agg, q_join_agg, q_topk,
           q_left_join, q_having, q_distinct, q_case_agg,
           q_time_window,
           q_window_topk, q_running_sum, q_lag,
-          q_setop, q_null_distinct, q_rollup]
+          q_setop, q_null_distinct, q_rollup,
+          q_exists, q_in_sub, q_scalar_sub]
 
 
 def main():
