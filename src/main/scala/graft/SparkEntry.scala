@@ -57,5 +57,6 @@ object SparkEntry {
     "q90_session_window", "q96_recursive_cte", "q99_cooccurrence",
     "q104_approx_distinct_gate", "q105_seq_pack", "q106_det_shard",
     "q107_mixture_resample", "q108_source_pctl_filter",
-    "q109_incremental_dedup", "q111_image_decode", "q112_audio_decode")
+    "q109_incremental_dedup", "q111_image_decode", "q112_audio_decode",
+    "q113_video_decode")
 }

@@ -7,15 +7,17 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, plus partition-batched
   * feature extraction.
   *
-  * Image (PNG/JPEG via `javax.imageio`) and audio (WAV/PCM via
-  * `javax.sound.sampled`) decode are REAL pure-JVM codecs — encoded
-  * payloads are genuine files a browser/player opens, and decode
-  * recovers true dimensions / pixel values / sample values (oracled
-  * end-to-end by q111/q112: the synthesized content is a closed-form
-  * function of the row key, so DuckDB recomputes the expected decoded
-  * stats independently). Video decode has no JDK codec; it keeps the
-  * structural stand-in (`decodeStub`) — honest stub, same data path a
-  * JNI/FFI decoder would use.
+  * Image (PNG/JPEG via `javax.imageio`), audio (WAV/PCM via
+  * `javax.sound.sampled`) and video (multi-frame animated GIF via
+  * `javax.imageio`'s sequence reader) decode are REAL pure-JVM
+  * codecs — encoded payloads are genuine files a browser/player
+  * opens, and decode recovers true dimensions / pixel values /
+  * sample values / frame counts (oracled end-to-end by
+  * q111/q112/q113: the synthesized content is a closed-form function
+  * of the row key, so DuckDB recomputes the expected decoded stats
+  * independently). Frame sampling (decode every Nth frame) runs
+  * against the real container index, the same access pattern an
+  * FFmpeg-backed decoder would use for keyframe striding.
   *
   * Scale: decode is a mapPartitions pass — no shuffle, arbitrary
   * per-partition native batching; partition sizing is controlled by the
@@ -135,6 +137,122 @@ object Multimodal {
       }
   }
 
+  /** Decoded video features: true codec-recovered frame count and
+    * dimensions, plus the red-channel pixel sum over every
+    * `stride`-th frame (GIF is palette-exact — oracle-able).
+    */
+  final case class VideoFeatures(asset_id: Long, n_frames: Int,
+                                 width: Int, height: Int,
+                                 sampled_pixel_sum: Long)
+
+  /** Deterministic multi-frame animated GIF: frame f's pixel (x,y) is
+    * `(seed*31 + 7x + 13y + 19f) mod 256` in gray. Frames are written
+    * through an explicit 256-entry grayscale palette, so the
+    * palette-based codec is LOSSLESS on this content and the decoded
+    * pixel values are exactly the closed form — which is what lets a
+    * real container round trip be hash-oracled by an engine with no
+    * codec. The output is a genuine GIF89a any browser animates.
+    */
+  def encodeGif(seed: Long, width: Int, height: Int,
+                nFrames: Int): Array[Byte] = {
+    val gray = Array.tabulate[Byte](256)(i => i.toByte)
+    val palette = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+      val raster = img.getRaster
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          raster.setSample(x, y, 0,
+            ((seed * 31 + 7L * x + 13L * y + 19L * f) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Synthesize real animated-GIF "video" assets: `4 + id % 6` frames
+    * of `8 + id % 8` × `8 + (id*3) % 8` pixels. Metadata deliberately
+    * zeroed — decode must recover everything from the container.
+    */
+  def videoAssetsFromDocuments(docs: DataFrame, every: Int = 5)
+      : Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") % every === 0)
+      .as[Long].mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 8).toInt
+          val h = (8 + (id * 3) % 8).toInt
+          val n = (4 + id % 6).toInt
+          MediaAsset(id, "gif", encodeGif(id, w, h, n), 0, 0, 0L)
+        }
+      }
+  }
+
+  /** REAL video decode with frame sampling: `javax.imageio`'s GIF
+    * sequence reader parses the container's frame index, decodes only
+    * every `stride`-th frame (the keyframe-striding access pattern),
+    * and recovers true frame count / dimensions / sampled pixel sums.
+    * Map-only partition-batched pass; loud on undecodable payloads.
+    */
+  def decodeVideoFeatures(assets: Dataset[MediaAsset], stride: Int = 2)
+      : Dataset[VideoFeatures] = {
+    require(stride > 0, "stride must be positive")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(a.payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"asset ${a.asset_id}: undecodable video")
+        val reader = readers.next()
+        reader.setInput(iis)
+        val nFrames = reader.getNumImages(true)
+        var sum = 0L
+        var w = 0
+        var h = 0
+        var f = 0
+        while (f < nFrames) {
+          if (f % stride == 0) { // only sampled frames are decoded
+            val img = reader.read(f)
+            w = img.getWidth
+            h = img.getHeight
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                sum += (img.getRGB(x, y) >> 16) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+          }
+          f += 1
+        }
+        reader.dispose()
+        iis.close()
+        VideoFeatures(a.asset_id, nFrames, w, h, sum)
+      }
+    }
+  }
+
   /** Synthesize real WAV assets: `256 + id % 512` frames each. */
   def audioAssetsFromDocuments(docs: DataFrame, every: Int = 5)
       : Dataset[MediaAsset] = {
@@ -206,13 +324,13 @@ object Multimodal {
     }
   }
 
-  /** STUB decode for kinds with no pure-JVM codec (video). Deterministic
-    * structural features only; a production build would swap the body
-    * for the JNI/FFI decoder while keeping the signature and the
-    * partition-batched driver loop identical. Image and audio use the
-    * REAL decoders above.
+  /** Codec-agnostic structural fingerprint (checksum + byte histogram)
+    * for OPAQUE payload kinds — formats the JDK has no codec for pass
+    * through here; image/audio/video use the REAL decoders above. A
+    * production build swaps this body for the JNI/FFI decoder while
+    * keeping the signature and partition-batched driver loop identical.
     */
-  private def decodeStub(payload: Array[Byte]): (Long, Array[Long]) = {
+  private def fingerprint(payload: Array[Byte]): (Long, Array[Long]) = {
     var checksum = 17L
     val hist = new Array[Long](16)
     var i = 0
@@ -230,7 +348,7 @@ object Multimodal {
     assets.mapPartitions { it =>
       // real decoders amortize codec init per partition — same shape here
       it.map { a =>
-        val (checksum, hist) = decodeStub(a.payload)
+        val (checksum, hist) = fingerprint(a.payload)
         MediaFeatures(a.asset_id, a.kind, a.payload.length, checksum, hist)
       }
     }
@@ -250,10 +368,10 @@ object Multimodal {
     }.toDF("asset_id", "chunk_id", "chunk")
   }
 
-  /** Frame sampling: keep every `stride`-th fixed-size frame of the
-    * payload (for video this is the decode-every-Nth-frame pattern; the
-    * frame boundary here is a byte window since the real codec is
-    * stubbed). Map-only, skew-bounded like chunk().
+  /** BYTE-window frame sampling for opaque payloads: keep every
+    * `stride`-th fixed-size window. For container formats with a real
+    * frame index, `decodeVideoFeatures` strides the codec's own frame
+    * table instead. Map-only, skew-bounded like chunk().
     */
   def sampleFrames(assets: Dataset[MediaAsset], frameBytes: Int,
                    stride: Int): DataFrame = {

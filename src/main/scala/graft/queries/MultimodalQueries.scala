@@ -73,6 +73,35 @@ object MultimodalQueries extends Catalog {
              |JOIN fr i ON i.g < 256 + d.doc_id % 512
              |WHERE d.doc_id % 5 = 0
              |GROUP BY d.doc_id
+             |ORDER BY asset_id""".stripMargin)),
+
+    // q113: real multi-frame animated-GIF encode -> real container
+    // decode with frame STRIDING (every 2nd frame). The grayscale
+    // palette makes GIF lossless on this content, so the sampled-frame
+    // pixel sum is exactly the closed form; frame count and dimensions
+    // must come from the container index, not stored metadata.
+    Q("q113_video_decode",
+      (s, dir) => {
+        val assets = Multimodal.videoAssetsFromDocuments(
+          Tables.load(s, dir, "documents"), Every)
+        Multimodal.decodeVideoFeatures(assets, stride = 2).toDF()
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH px AS (SELECT g FROM generate_series(0, 15) t(g)),
+             |     fr AS (SELECT g FROM generate_series(0, 9) t(g))
+             |SELECT CAST(d.doc_id AS BIGINT) AS asset_id,
+             |       CAST(4 + d.doc_id % 6 AS INT) AS n_frames,
+             |       CAST(8 + d.doc_id % 8 AS INT) AS width,
+             |       CAST(8 + (d.doc_id * 3) % 8 AS INT) AS height,
+             |       CAST(SUM((d.doc_id * 31 + 7 * x.g + 13 * y.g
+             |                 + 19 * f.g) % 256) AS BIGINT)
+             |         AS sampled_pixel_sum
+             |FROM documents d
+             |JOIN px x ON x.g < 8 + d.doc_id % 8
+             |JOIN px y ON y.g < 8 + (d.doc_id * 3) % 8
+             |JOIN fr f ON f.g < 4 + d.doc_id % 6 AND f.g % 2 = 0
+             |WHERE d.doc_id % 5 = 0
+             |GROUP BY d.doc_id
              |ORDER BY asset_id""".stripMargin))
   )
 }

@@ -90,6 +90,42 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("animated GIF decode recovers frames, dims and strided pixel sums") {
+    val assets = Multimodal.videoAssetsFromDocuments(docs, every = 50)
+    val first = assets.orderBy($"asset_id").head()
+    // payloads are genuine animated GIFs: GIF89a magic
+    assert(new String(first.payload.take(6), "US-ASCII").startsWith("GIF8"))
+    assert(first.width == 0 && first.height == 0) // decode can't cheat
+    val feats = Multimodal.decodeVideoFeatures(assets, stride = 2).collect()
+      .map(f => f.asset_id -> f).toMap
+    assert(feats.nonEmpty)
+    for ((id, f) <- feats) {
+      val w = (8 + id % 8).toInt
+      val h = (8 + (id * 3) % 8).toInt
+      val n = (4 + id % 6).toInt
+      val expected = (for {
+        fr <- 0 until n if fr % 2 == 0
+        x <- 0 until w; y <- 0 until h
+      } yield (id * 31 + 7 * x + 13 * y + 19 * fr) % 256).sum
+      assert(f.n_frames == n, s"asset $id frame count")
+      assert(f.width == w && f.height == h, s"asset $id dims")
+      assert(f.sampled_pixel_sum == expected, s"asset $id pixel sum")
+    }
+  }
+
+  test("GIF stride-1 decodes every frame; stride-3 is a strict subset sum") {
+    val gif = Multimodal.encodeGif(seed = 42L, width = 9, height = 11,
+      nFrames = 7)
+    val one = Seq(Multimodal.MediaAsset(42L, "gif", gif, 0, 0, 0L)).toDS()
+    val all = Multimodal.decodeVideoFeatures(one, stride = 1).head()
+    val sparse = Multimodal.decodeVideoFeatures(one, stride = 3).head()
+    assert(all.n_frames == 7 && sparse.n_frames == 7)
+    val frameSum = (f: Int) => (for (x <- 0 until 9; y <- 0 until 11)
+      yield (42L * 31 + 7 * x + 13 * y + 19 * f) % 256).sum
+    assert(all.sampled_pixel_sum == (0 until 7).map(frameSum).sum)
+    assert(sparse.sampled_pixel_sum == Seq(0, 3, 6).map(frameSum).sum)
+  }
+
   test("undecodable image payload fails loudly with the asset id") {
     val bad = Seq(Multimodal.MediaAsset(7L, "png",
       Array[Byte](1, 2, 3, 4), 0, 0, 0L)).toDS()
