@@ -40,10 +40,12 @@ object SparkEntry {
     * CORRECTNESS_sf1_r{N}.json): every scale-sensitive operator whose
     * DuckDB oracle COMPLETES at sf1 in bounded time — dedup,
     * similarity/ANN, text-pipeline, sketch, and iterative families.
-    * q45/q94 (DuckDB >620 s, killed) and q47/q103 (recursive-CTE
-    * oracle, 365 s) are excluded here and covered by the sf0.01 gate
-    * plus their PLANS.md plan audits; Verify expands the name
-    * `@scale` in SPARK_GRAFT_VERIFY_ONLY to this list.
+    * q45/q94 (DuckDB >620 s, killed), q47/q103 (recursive-CTE
+    * oracle, 365 s) and q115 (all-pairs containment: output itself is
+    * ~quadratic on the 31-word synthetic vocab, like q45) are excluded
+    * here and covered by the sf0.01 gate plus their PLANS.md plan
+    * audits; Verify expands the name `@scale` in
+    * SPARK_GRAFT_VERIFY_ONLY to this list.
     */
   val scaleFamily: Seq[String] = Seq(
     "q40_dedup_exact", "q41_dedup_fingerprint", "q42_minhash_signatures",
@@ -58,5 +60,5 @@ object SparkEntry {
     "q104_approx_distinct_gate", "q105_seq_pack", "q106_det_shard",
     "q107_mixture_resample", "q108_source_pctl_filter",
     "q109_incremental_dedup", "q111_image_decode", "q112_audio_decode",
-    "q113_video_decode")
+    "q113_video_decode", "q114_budget_select")
 }

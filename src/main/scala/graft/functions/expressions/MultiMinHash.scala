@@ -268,6 +268,80 @@ case class SortedIntersectAtLeastLong(
     copy(left = newLeft, right = newRight)
 }
 
+/** [[SortedIntersectAtLeastLong]]'s CONTAINMENT sibling: same codegen'd
+  * merge scan, but the early-exit target is `inter >= t * |left|`
+  * (containment of the LEFT set) instead of the Jaccard bound — the
+  * verify step of an asymmetric containment join, where the right set
+  * may be arbitrarily larger. Aborts to -1 (self-filtering negative
+  * containment) once even matching every remaining element can't reach
+  * the target; the 0.5 margin only ever forgoes pruning near the
+  * boundary, never drops a true qualifier.
+  */
+case class SortedIntersectAtLeastFracLeftLong(
+    left: Expression, right: Expression, threshold: Double)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(java.lang.Double.isFinite(threshold),
+    s"threshold must be finite, got $threshold")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_at_least_frac_left_long"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var cnt = 0
+    val na = a.numElements(); val nb = b.numElements()
+    val need = threshold * na - 0.5
+    while (i < na && j < nb) {
+      val rem = math.min(na - i, nb - j)
+      if (cnt + rem < need) { cnt = -1; i = na }
+      else {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { cnt += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+    }
+    cnt
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt"); val rem = ctx.freshName("rem")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val need = ctx.freshName("need")
+      s"""
+         |int $i = 0, $j = 0, $cnt = 0;
+         |final int $na = $a.numElements();
+         |final int $nb = $b.numElements();
+         |final double $need = $threshold * $na - 0.5;
+         |while ($i < $na && $j < $nb) {
+         |  final int $rem = ($na - $i < $nb - $j) ? ($na - $i) : ($nb - $j);
+         |  if ($cnt + $rem < $need) {
+         |    $cnt = -1; break;
+         |  }
+         |  final long $x = $a.getLong($i);
+         |  final long $y = $b.getLong($j);
+         |  if ($x == $y) { $cnt++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression)
+      : SortedIntersectAtLeastFracLeftLong =
+    copy(left = newLeft, right = newRight)
+}
+
 object CustomExpressions {
   /** Column wrapper: all k minhash digests over the shingles of a
     * token array column. */
@@ -287,4 +361,9 @@ object CustomExpressions {
     * (returns -1 once jaccard >= t is unreachable). */
   def sortedIntersectAtLeastLong(a: Column, b: Column, t: Double): Column =
     toColumn(SortedIntersectAtLeastLong(toExpression(a), toExpression(b), t))
+
+  def sortedIntersectAtLeastFracLeftLong(a: Column, b: Column,
+                                         t: Double): Column =
+    toColumn(SortedIntersectAtLeastFracLeftLong(
+      toExpression(a), toExpression(b), t))
 }

@@ -284,6 +284,108 @@ object Dedup {
               col("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT near-dup: pairs where the smaller doc's
+    * distinct-token set is >= `threshold` contained in the larger's
+    * (`|A∩B| / |A|`, |A| <= |B|) — the quote/embedded-copy case that
+    * Jaccard structurally misses (a 20-token doc fully quoted inside a
+    * 500-token doc has jaccard 0.04 but containment 1.0). Because the
+    * two sides may differ arbitrarily in size, q45's length-bucket
+    * adjacency pruning does NOT apply; candidates come from SSJoin/
+    * PPJoin-style PREFIX FILTERING instead (Chaudhuri et al. SSJoin
+    * 2006; Xiao et al. PPJoin 2011): order each doc's tokens by global
+    * rarity (document frequency, then hash — a total order both sides
+    * agree on); if the smaller side shares >= t·|A| tokens, its first
+    * `floor((1-t)·|A|) + 2` rarest tokens cannot ALL be unshared, so
+    * probing only that prefix against the corpus inverted index finds
+    * every qualifying pair (+2 absorbs the double-threshold rounding —
+    * an over-long prefix only adds candidates, never drops pairs).
+    *
+    * Scale: per-doc work is map-only; the shuffles are the token-df
+    * aggregation (map-side combined, Zipf skew absorbed by partial
+    * aggregation), the inverted-index equi-join on the token key —
+    * where rarity ordering is precisely what keeps hot tokens out of
+    * the probe side's prefixes, so a stop-word's huge postings list
+    * meets few probes — and the candidate-pair dedup. The verify phase
+    * is the same codegen'd sorted-merge intersect as q45.
+    */
+  def containmentPairs(df: DataFrame, id: Column, text: Column,
+                       threshold: Double, chunks: Int = 32): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    require(chunks >= 1, "chunks must be >= 1")
+    // distinct token hashes per doc (compact longs, as in jaccardPairs)
+    val toks = df.select(id.as("doc_id"),
+      array_distinct(transform(tokens(text), t => xxhash64(t))).as("th"))
+    val expl = toks.select(col("doc_id"), explode(col("th")).as("tok"))
+    val dfreq = expl.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
+    // rarity order: (df ASC, hash ASC) — struct array_sort is
+    // field-lexicographic, giving the identical total order everywhere
+    val rarity = expl.join(dfreq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("tdf"), col("tok"))))
+        .as("rt"))
+      .select(col("doc_id"),
+        transform(col("rt"), s => s.getField("tok")).as("rtoks"))
+    val docs = toks
+      .select(col("doc_id"), array_sort(col("th")).as("stoks"))
+      .join(rarity, "doc_id")
+      .withColumn("n", size(col("stoks")))
+      .filter(col("n") > 0)
+    // Prefix probe side: the floor((1-t)n)+2 rarest tokens of each doc,
+    // CARRYING the hash-sorted array so the verify runs inline in the
+    // join projection — non-qualifying candidates die inside the join
+    // (q45's shape); only qualifying pairs are deduped afterwards. The
+    // arrays are compact longs, so the ~prefixLen-fold replication is
+    // cheap against re-attaching them through two id-keyed joins.
+    val prefLen =
+      (floor(lit(1.0 - threshold) * col("n")) + lit(2)).cast("int")
+    val probes = docs.select(col("doc_id").as("a_id"), col("n").as("a_n"),
+      col("stoks").as("a_toks"),
+      explode(slice(col("rtoks"), lit(1), prefLen)).as("tok"))
+    val index = docs.select(col("doc_id").as("b_id"), col("n").as("b_n"),
+      col("stoks").as("b_toks"),
+      posexplode(col("rtoks")).as(Seq("pos_b", "tok")))
+    // Both-prefix lemma (Bayardo et al. WWW'07): the FIRST shared token
+    // in the global rarity order sits inside BOTH sides' prefixes, so
+    // the index side only needs positions <= n_b - ceil(t*n_a) + 1;
+    // floor()+2 is the fp-safe slack, mirroring the probe side.
+    val bPrefixBound =
+      col("pos_b") + 1 <=
+        col("b_n") - floor(lit(threshold) * col("a_n")) + lit(2)
+    // The token key is LOW-CARDINALITY (a vocabulary, Zipf-headed) and
+    // the shuffled rows are tiny in bytes while the downstream pair
+    // enumeration is quadratic — exactly the shape AQE's byte-based
+    // coalescing funnels onto one thread (the round-10 q45/q57
+    // lesson). Salt the probe side by doc hash, replicate the (small)
+    // index side across all salts, and pin a fixed-count repartition
+    // on (tok, salt) that AQE may not coalesce.
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val probesS = probes
+      .withColumn("__salt", pmod(xxhash64(col("a_id")), lit(chunks)).cast("int"))
+      .repartition(nParts, col("tok"), col("__salt"))
+    val indexS = index
+      .withColumn("__salt", explode(sequence(lit(0), lit(chunks - 1))))
+      .repartition(nParts, col("tok"), col("__salt"))
+    probesS.join(indexS,
+        probesS("tok") === indexS("tok") &&
+          probesS("__salt") === indexS("__salt") && bPrefixBound &&
+          (col("a_n") < col("b_n") ||
+            (col("a_n") === col("b_n") && col("a_id") < col("b_id"))))
+      // codegen'd merge scan with containment-target early exit (the
+      // -1 abort makes the computed containment negative: self-filters)
+      .withColumn("inter",
+        sortedIntersectAtLeastFracLeftLong(
+          col("a_toks"), col("b_toks"), threshold))
+      .withColumn("containment",
+        col("inter").cast("double") / col("a_n").cast("double"))
+      .filter(col("containment") >= threshold)
+      // a qualifying pair surfaces once per shared prefix token;
+      // containment is pair-deterministic, so distinct dedupes exactly
+      .select(col("a_id").as("doc_small"), col("b_id").as("doc_big"),
+        col("containment"))
+      .distinct()
+  }
+
   /** The dedup DECISION step: candidate pairs (from [[minhashCandidates]],
     * [[jaccardPairs]], or `Similarity.cosinePairsBlocked`) form an
     * undirected graph; each document's component representative is the

@@ -319,6 +319,44 @@ object DedupQueries extends Catalog {
               |    ON a.lang = b.lang AND a.bk = b.bk AND a.doc_id < b.doc_id)
               |SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
               |FROM pairs WHERE jaccard >= 0.8
-              |ORDER BY doc_a, doc_b""".stripMargin))
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Asymmetric containment dedup (the quote/embedded-copy case
+    // Jaccard misses): smaller doc >= 90% token-contained in a larger
+    // one. Spark candidates come from SSJoin/PPJoin prefix filtering
+    // on rarity-ordered tokens (no length blocking — the sides differ
+    // in size BY DESIGN); the oracle brute-forces all ordered pairs,
+    // so the hash-match proves the prefix filter loses nothing.
+    // Aggregated per contained doc: pair volume is the intermediate,
+    // the operator's answer is "which docs are somebody's substring".
+    Q("q115_containment_dedup",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        Dedup.containmentPairs(d, col("doc_id"), col("text"),
+            threshold = 0.9)
+          .groupBy(col("doc_small"))
+          .agg(count(lit(1)).as("n_containers"),
+            round(max(col("containment")), 6).as("best_containment"),
+            min(col("doc_big")).as("first_container"))
+          .orderBy(col("doc_small"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+              |    list_distinct($duckToks) AS toks FROM documents),
+              |nz AS (SELECT doc_id, toks, len(toks) AS n
+              |  FROM d WHERE len(toks) > 0),
+              |pairs AS (
+              |  SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+              |    CAST(len(list_filter(a.toks,
+              |        t -> list_contains(b.toks, t))) AS DOUBLE)
+              |      / a.n AS containment
+              |  FROM nz a JOIN nz b
+              |    ON a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id))
+              |SELECT doc_small,
+              |  CAST(COUNT(*) AS BIGINT) AS n_containers,
+              |  ROUND(MAX(containment), 6) AS best_containment,
+              |  MIN(doc_big) AS first_container
+              |FROM pairs WHERE containment >= 0.9
+              |GROUP BY doc_small
+              |ORDER BY doc_small""".stripMargin))
   )
 }

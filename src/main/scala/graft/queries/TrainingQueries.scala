@@ -27,6 +27,10 @@ object TrainingQueries extends Catalog {
     * the operator default (1M) is the 100 TB setting. */
   private val PackBucket = 128L
 
+  /** q114 global token budget: ~a third of the sf0.01 corpus, so the
+    * cut lands mid-bucket at every scale factor. */
+  private val SelectBudget = 8000L
+
   /** q107 target mixture — three sources, downsample-only. */
   private val MixShares: Seq[(String, Double)] =
     Seq("src3" -> 0.45, "src7" -> 0.35, "src11" -> 0.2)
@@ -242,6 +246,57 @@ object TrainingQueries extends Catalog {
              |  MAX(md5(CAST(doc_id AS VARCHAR))) AS last_key
              |FROM documents GROUP BY shard
              |ORDER BY shard""".stripMargin),
-      bench = false)
+      bench = false),
+
+    // Token-budget curation: keep the best-scoring docs (score = type/
+    // token ratio, a stand-in for any quality-classifier output) whose
+    // INCLUSIVE running token total fits a global budget. Spark side is
+    // the two-level bucketed prefix sum (operators/BudgetSelect — the
+    // corpus never sees a global order); the oracle is the literal
+    // single-window cumsum over (score DESC, doc_id), so the
+    // hash-match doubles as the decomposition-exactness proof.
+    Q("q114_budget_select",
+      (s, dir) => {
+        import graft.functions.TextFunctions.tokens
+        val docs = Tables.load(s, dir, "documents")
+        val scored = docs.select(col("doc_id"), col("source"),
+            tokenCount(col("text")).as("n_tok"),
+            size(array_distinct(tokens(col("text")))).as("n_uniq"))
+          .filter(col("n_tok") > 0)
+          .withColumn("score",
+            col("n_uniq").cast("double") / col("n_tok"))
+        graft.operators.BudgetSelect
+          .selectByTokenBudget(scored, col("score"), col("n_tok"),
+            col("doc_id"), budget = SelectBudget, buckets = 16)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"),
+            sum(col("doc_id")).as("id_sum"),
+            max(col("cum_tokens")).as("max_cum"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, source,
+              |    CAST(len($duckToks) AS BIGINT) AS n_tok,
+              |    CAST(len(list_distinct($duckToks)) AS BIGINT) AS n_uniq
+              |  FROM documents),
+              |s AS (
+              |  SELECT *, CAST(n_uniq AS DOUBLE) / n_tok AS score
+              |  FROM t WHERE n_tok > 0),
+              |c AS (
+              |  SELECT *, SUM(n_tok) OVER (ORDER BY score DESC, doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              |  FROM s)
+              |SELECT source,
+              |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(n_tok) AS BIGINT) AS tokens,
+              |  MIN(doc_id) AS first_doc,
+              |  MAX(doc_id) AS last_doc,
+              |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+              |  CAST(MAX(cum) AS BIGINT) AS max_cum
+              |FROM c WHERE cum <= $SelectBudget
+              |GROUP BY source ORDER BY source""".stripMargin))
   )
 }

@@ -255,4 +255,32 @@ class CustomExpressionsSpec extends SparkSpec {
     }
     assert(pairs.exists(r => r.getInt(3) == -1), "early exit never fired")
   }
+
+  test("SortedIntersectAtLeastFracLeftLong: containment early exit never flips the verdict") {
+    // same contract as the jaccard variant, but the target is
+    // inter >= t * |left| (asymmetric containment). Boundary pairs at
+    // containment == t exactly (9-of-10 at t = 0.9) included.
+    val rnd = new scala.util.Random(11)
+    val arrays = (Seq(
+      Seq.empty[Long], (1L to 10L).toSeq, (1L to 9L) :+ 42L) ++
+      (1 to 40).map(_ =>
+        (1 to (1 + rnd.nextInt(30))).map(_ => rnd.nextInt(40).toLong)
+          .distinct.sorted.toSeq)).zipWithIndex
+    val t = 0.9
+    val df = arrays.map { case (a, i) => (i.toLong, a) }.toDF("id", "toks")
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .select(
+        sortedIntersectCountLong(col("a.toks"), col("b.toks")).as("full"),
+        sortedIntersectAtLeastFracLeftLong(
+          col("a.toks"), col("b.toks"), t).as("fast"),
+        size(col("a.toks")).as("na"))
+      .collect()
+    pairs.foreach { r =>
+      val (full, fast, na) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      def c(x: Int) = if (na == 0) 1.0 else x.toDouble / na
+      if (c(full) >= t) assert(fast == full, s"qualifying pair lost: $r")
+      else assert(fast == full || (fast == -1 && c(-1) < t), s"bad prune: $r")
+    }
+    assert(pairs.exists(r => r.getInt(1) == -1), "early exit never fired")
+  }
 }

@@ -213,6 +213,68 @@ class OperatorsSpec extends SparkSpec {
       "C00" -> ("Estruturada", 4))) // tie broken deterministically by id
   }
 
+  test("selectByTokenBudget equals the single-window global prefix sum") {
+    import graft.operators.BudgetSelect
+    // scores engineered to straddle several buckets and include ties
+    val rows = (0L until 200L).map { i =>
+      (i, ((i * 37) % 100) / 100.0, 10 + (i % 7))
+    }.toDF("id", "score", "n_tok")
+    val reference = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"score".desc, $"id".asc)
+        .rowsBetween(Long.MinValue, 0)
+      rows.withColumn("cum", sum($"n_tok").over(w))
+        .filter($"cum" <= 800)
+        .select($"id", $"cum").as[(Long, Long)].collect().toMap
+    }
+    for (buckets <- Seq(1, 4, 16, 256)) {
+      val got = BudgetSelect
+        .selectByTokenBudget(rows, $"score", $"n_tok", $"id", 800L, buckets)
+        .select($"id", $"cum_tokens").as[(Long, Long)].collect().toMap
+      assert(got == reference, s"buckets=$buckets")
+    }
+  }
+
+  test("selectByTokenBudget budget edges: zero keeps nothing, huge keeps all") {
+    import graft.operators.BudgetSelect
+    val rows = (0L until 50L).map(i => (i, (i % 10) / 10.0, 5))
+      .toDF("id", "score", "n_tok")
+    assert(BudgetSelect
+      .selectByTokenBudget(rows, $"score", $"n_tok", $"id", 0L).count() == 0)
+    val all = BudgetSelect
+      .selectByTokenBudget(rows, $"score", $"n_tok", $"id", 1000000L)
+    assert(all.count() == 50)
+    assert(all.agg(max($"cum_tokens")).as[Long].head() == 250L)
+  }
+
+  test("containmentPairs equals brute force and catches what Jaccard misses") {
+    // doc 1 is fully quoted inside doc 2 (jaccard 3/10 — far below any
+    // dedup threshold); doc 3 is 2/3-contained in doc 2 (below 0.9);
+    // docs 4 and 5 are same-size near-twins (containment through the
+    // tie-break path); doc 6 shares nothing
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta nu"),
+      (4L, "one two three four"),
+      (5L, "one two three four"),
+      (6L, "completely different words here")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, $"doc_id", $"text", 0.9)
+      .select($"doc_small", $"doc_big").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (4L, 5L)))
+    // brute-force cross-check over every ordered pair at threshold 0.5
+    val loose = Dedup.containmentPairs(docs, $"doc_id", $"text", 0.5)
+      .select($"doc_small", $"doc_big").as[(Long, Long)].collect().toSet
+    val toks = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split("\\s+").toSet }
+    val brute = (for {
+      (ia, sa) <- toks; (ib, sb) <- toks
+      if sa.size < sb.size || (sa.size == sb.size && ia < ib)
+      if sa.intersect(sb).size.toDouble / sa.size >= 0.5
+    } yield (ia, ib)).toSet
+    assert(loose == brute)
+  }
+
   implicit class Tuple3Ops(rows: Array[(String, String, Int)]) {
     def toMap2: Map[String, (String, Int)] =
       rows.map(r => r._1 -> ((r._2, r._3))).toMap
