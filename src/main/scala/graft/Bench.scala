@@ -25,10 +25,16 @@ object Bench {
     // warm+median methodology.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val names = only match {
+    // Skip list for scale-point re-benches (mirrors Verify's SKIP): a
+    // query whose output is super-linear at that sf (q115 at sf>=1)
+    // is excluded explicitly rather than hanging the suite.
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val names = (only match {
       case Some(set) => SparkEntry.queries.keys.toSeq.sorted.filter(set)
       case None      => SparkEntry.benchQueries.sorted
-    }
+    }).filterNot(skip)
     val fns = SparkEntry.queries
 
     // warm-then-time methodology, symmetric with

@@ -19,8 +19,16 @@ object Verify {
         case "@scale" => SparkEntry.scaleFamily
         case n        => Seq(n)
       }.toSet)
+    // Skip list (comma-separated) for scale gates: a query whose very
+    // OUTPUT is super-linear at a given sf (q115's all-pairs
+    // containment on the dense synthetic vocab) is excluded there the
+    // way q45/q94's oracles are timeout-capped — explicitly, in the
+    // gate script, never silently.
+    val skip = sys.env.get("SPARK_GRAFT_VERIFY_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val selected = SparkEntry.queries.filter {
-      case (name, _) => only.forall(_.contains(name))
+      case (name, _) => only.forall(_.contains(name)) && !skip(name)
     }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -42,7 +50,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
+      .filter { case (k, _) => only.forall(_.contains(k)) && !skip(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

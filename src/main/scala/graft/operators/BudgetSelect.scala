@@ -60,11 +60,18 @@ object BudgetSelect {
       .orderBy(col("__score").desc, tieBreak.asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = base.withColumn("__cum_in", sum(col("__ntok")).over(inBucket))
-    // bucket totals read off the SAME bucket-hash exchange (the final
-    // __cum_in of each bucket IS its total); the offset window runs
-    // over #buckets rows only — bounded regardless of corpus size
-    val offsets = cum.groupBy(col("__bucket"))
-      .agg(max(col("__cum_in")).as("__btotal"))
+    // Bucket totals from a SECOND, column-pruned scan with map-side
+    // combine: its exchange carries #buckets rows per partition, and
+    // the offset window runs over #buckets rows — both bounded
+    // regardless of corpus size. (Packing reads its totals off the
+    // shared windowed exchange instead, but that requires the narrow
+    // frame both branches can canonicalize to; here the selection
+    // must return the caller's full rows, whose pruning differs per
+    // branch, so Catalyst would plan a second corpus-sized window —
+    // measured in the q114 plan audit — where this agg is a cheap
+    // pruned re-scan.)
+    val offsets = base.groupBy(col("__bucket"))
+      .agg(sum(col("__ntok")).as("__btotal"))
       .withColumn("__offset",
         coalesce(
           sum(col("__btotal")).over(

@@ -357,12 +357,62 @@ def q_scalar_sub(i):
             f"ORDER BY {pk} LIMIT {k}")
 
 
+def q_filter_agg(i):
+    """aggregate FILTER (WHERE ...) clauses — the filtered-SUM-over-
+    empty-group → NULL edge is a classic dialect divergence (vs 0)."""
+    t = rng.choice(list(TABLES))
+    g = rng.choice(TABLES[t]["group"])
+    c = rng.choice(TABLES[t]["int"])
+    p1, p2 = pred(t), pred(t)
+    return (f"SELECT {g}, "
+            f"CAST(COUNT(*) FILTER (WHERE {p1}) AS BIGINT) AS n_f, "
+            f"CAST(SUM({c}) FILTER (WHERE {p2}) AS BIGINT) AS sum_f, "
+            f"MAX({c}) FILTER (WHERE {p1}) AS max_f "
+            f"FROM {t} GROUP BY {g} ORDER BY {g}")
+
+
+def q_lateral(i):
+    """correlated LATERAL derived table (aggregate body, so exactly one
+    row per parent) — the other decorrelation front-end besides
+    EXISTS/IN/scalar subqueries."""
+    par, chi, pk, ck = rng.choice(
+        [("customer", "orders", "c_custkey", "o_custkey"),
+         ("orders", "lineitem", "o_orderkey", "l_orderkey")])
+    c = rng.choice(TABLES[chi]["int"])
+    k = rng.choice([50, 200])
+    return (f"SELECT p.{pk}, l.n_child, l.mx "
+            f"FROM {par} p, LATERAL ("
+            f"SELECT CAST(COUNT(*) AS BIGINT) AS n_child, "
+            f"MAX(c.{c}) AS mx "
+            f"FROM {chi} c WHERE c.{ck} = p.{pk} AND {pred(chi)}) l "
+            f"WHERE {pred(par)} ORDER BY p.{pk} LIMIT {k}")
+
+
+def q_full_outer(i):
+    """FULL OUTER JOIN of two grouped aggregates on partially
+    overlapping key subsets — exercises null-padding on both sides;
+    null ordering pinned explicitly (Spark ASC defaults nulls first,
+    DuckDB nulls last)."""
+    t = rng.choice(["orders", "lineitem", "customer"])
+    key = rng.choice(TABLES[t]["int"])
+    pa, pb = pred(t), pred(t)
+    return (f"SELECT COALESCE(a.k, b.k) AS k, a.na, b.nb "
+            f"FROM (SELECT {key} % 97 AS k, "
+            f"CAST(COUNT(*) AS BIGINT) AS na FROM {t} WHERE {pa} "
+            f"GROUP BY 1) a "
+            f"FULL OUTER JOIN (SELECT {key} % 101 AS k, "
+            f"CAST(COUNT(*) AS BIGINT) AS nb FROM {t} WHERE {pb} "
+            f"GROUP BY 1) b ON a.k = b.k "
+            f"ORDER BY k NULLS FIRST, na NULLS FIRST, nb NULLS FIRST")
+
+
 SHAPES = [q_single_agg, q_join_agg, q_topk,
           q_left_join, q_having, q_distinct, q_case_agg,
           q_time_window,
           q_window_topk, q_running_sum, q_lag,
           q_setop, q_null_distinct, q_rollup,
-          q_exists, q_in_sub, q_scalar_sub]
+          q_exists, q_in_sub, q_scalar_sub,
+          q_filter_agg, q_lateral, q_full_outer]
 
 
 def main():
