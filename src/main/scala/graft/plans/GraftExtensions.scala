@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{ChunkMd5, DotProduct, MultiMinHash, ShingleMd5, SortedIntersectCount, SortedIntersectCountLong, TokenFingerprint, TokenPairs}
+import graft.functions.expressions.{ChunkMd5, DotProduct, MultiMinHash, ShingleMd5, SortedIntersectAtLeastFracLeftLong, SortedIntersectAtLeastLong, SortedIntersectCount, SortedIntersectCountLong, TokenFingerprint, TokenPairs}
 
 /** SQL-surface registration of the engine's custom expressions, so
   * `spark.sql("SELECT token_fingerprint(lower(text)) …")` works.
@@ -44,6 +44,21 @@ object GraftExtensions {
       case n: Number => n.intValue()
       case _ =>
         throw graftbridge.nonFoldableArgumentError(fn, param, IntegerType)
+    }
+  }
+
+  /** Like [[intLit]] for a literal Double threshold argument. */
+  private def doubleLit(fn: String, param: String,
+                        es: Seq[Expression], idx: Int): Double = {
+    val e = es(idx)
+    if (!e.foldable)
+      throw graftbridge.nonFoldableArgumentError(fn, param,
+        org.apache.spark.sql.types.DoubleType)
+    e.eval(null) match {
+      case n: Number => n.doubleValue()
+      case _ =>
+        throw graftbridge.nonFoldableArgumentError(fn, param,
+          org.apache.spark.sql.types.DoubleType)
     }
   }
 
@@ -94,7 +109,21 @@ object GraftExtensions {
         intLit("chunk_md5", "chunkLen", es, 1)))),
     ("token_pairs",
       new ExpressionInfo(classOf[TokenPairs].getName, "token_pairs"),
-      arity("token_pairs", 1)(es => TokenPairs(es.head))))
+      arity("token_pairs", 1)(es => TokenPairs(es.head))),
+    ("sorted_intersect_at_least_long",
+      new ExpressionInfo(classOf[SortedIntersectAtLeastLong].getName,
+        "sorted_intersect_at_least_long"),
+      arity("sorted_intersect_at_least_long", 3)(es =>
+        SortedIntersectAtLeastLong(es.head, es(1),
+          doubleLit("sorted_intersect_at_least_long", "threshold", es, 2)))),
+    ("sorted_intersect_at_least_frac_left_long",
+      new ExpressionInfo(
+        classOf[SortedIntersectAtLeastFracLeftLong].getName,
+        "sorted_intersect_at_least_frac_left_long"),
+      arity("sorted_intersect_at_least_frac_left_long", 3)(es =>
+        SortedIntersectAtLeastFracLeftLong(es.head, es(1),
+          doubleLit("sorted_intersect_at_least_frac_left_long",
+            "threshold", es, 2)))))
 
   /** Register into an existing session's temp-function registry. */
   def register(spark: SparkSession): Unit =

@@ -270,6 +270,23 @@ object IncrementalQueries extends Catalog {
              |  AND p_ts <= c_ts + INTERVAL 60 MINUTE
              |ORDER BY c.user_id, c_id, p_id""".stripMargin)),
 
+    // LEFT OUTER variant of q101: every click emits, unmatched ones
+    // null-padded — in streaming the outer row emits only after both
+    // watermarks pass the click's join window (exactly-once, bounded
+    // state; semantics spec'd in StreamingSpec). Null ordering pinned
+    // explicitly: Spark ASC defaults nulls first, DuckDB nulls last.
+    Q("q116_interval_join_outer", q116 _,
+      Some("""WITH c AS (SELECT user_id, ts AS c_ts, event_id AS c_id
+             |  FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id, ts AS p_ts, event_id AS p_id
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT c.user_id, c_id, c_ts, p_id, p_ts
+             |FROM c LEFT JOIN p ON c.user_id = p.user_id
+             |  AND p_ts >= c_ts
+             |  AND p_ts <= c_ts + INTERVAL 60 MINUTE
+             |ORDER BY c.user_id, c_id,
+             |  p_id NULLS FIRST""".stripMargin)),
+
     // Bag-semantics set ops (vs q14/q15's distinct forms):
     // INTERSECT ALL keeps min(multiplicity), EXCEPT ALL subtracts
     // multiplicities. Both set-ops over the SAME table keyed the same
@@ -391,5 +408,20 @@ object IncrementalQueries extends Catalog {
       .intervalJoin(clicks, purchases, "c_ts", "p_ts", "c_id", "p_id",
         withinMinutes = 60)
       .orderBy(col("user_id"), col("c_id"), col("p_id"))
+  }
+
+  private def q116(s: org.apache.spark.sql.SparkSession,
+                   dir: String): org.apache.spark.sql.DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"),
+              col("event_id").as("c_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+              col("event_id").as("p_id"))
+    graft.streaming.EventStreams
+      .intervalJoinOuter(clicks, purchases, "c_ts", "p_ts", "c_id", "p_id",
+        withinMinutes = 60)
+      .orderBy(col("user_id"), col("c_id"), col("p_id").asc_nulls_first)
   }
 }

@@ -69,7 +69,31 @@ object EventStreams {
   def intervalJoin(left: DataFrame, right: DataFrame,
                    lTs: String, rTs: String, lId: String, rId: String,
                    withinMinutes: Int,
-                   watermark: String = "30 minutes"): DataFrame = {
+                   watermark: String = "30 minutes"): DataFrame =
+    intervalJoinImpl(left, right, lTs, rTs, lId, rId, withinMinutes,
+      watermark, "inner")
+
+  /** LEFT OUTER stream-stream interval join: every left event emits,
+    * matched pairs as in [[intervalJoin]], unmatched lefts null-padded.
+    * In streaming, Spark emits the null-padded row only once BOTH
+    * watermarks have passed the end of the left row's join window (the
+    * row can no longer match a future right event) — state stays
+    * bounded by the same eviction the inner join already has, and the
+    * outer result is exactly-once rather than speculative. In batch
+    * the same plan is an ordinary left join with a range condition.
+    */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame,
+                        lTs: String, rTs: String, lId: String, rId: String,
+                        withinMinutes: Int,
+                        watermark: String = "30 minutes"): DataFrame =
+    intervalJoinImpl(left, right, lTs, rTs, lId, rId, withinMinutes,
+      watermark, "left_outer")
+
+  private def intervalJoinImpl(left: DataFrame, right: DataFrame,
+                               lTs: String, rTs: String,
+                               lId: String, rId: String,
+                               withinMinutes: Int, watermark: String,
+                               joinType: String): DataFrame = {
     def wm(df: DataFrame, ts: String) = {
       val t = df.withColumn(ts, col(ts).cast("timestamp"))
       if (df.isStreaming) t.withWatermark(ts, watermark) else t
@@ -84,7 +108,8 @@ object EventStreams {
     val r = wm(right, rTs).alias("gr")
     l.join(r, col("gl.user_id") === col("gr.user_id")
         && col(rTs) >= col(lTs)
-        && col(rTs) <= col(lTs) + expr(s"INTERVAL $withinMinutes MINUTES"))
+        && col(rTs) <= col(lTs) + expr(s"INTERVAL $withinMinutes MINUTES"),
+        joinType)
       .select(col("gl.user_id"), col(lId), col(lTs), col(rId), col(rTs))
   }
 

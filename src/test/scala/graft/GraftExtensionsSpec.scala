@@ -33,6 +33,25 @@ class GraftExtensionsSpec extends SparkSpec {
       row.getAs[String]("expected_ch1"))
   }
 
+  test("threshold merge-scan variants evaluate from spark.sql") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  sorted_intersect_at_least_long(
+        |    array(1L,2L,3L,4L), array(2L,3L,4L,5L), 0.5D) AS j_pass,
+        |  sorted_intersect_at_least_long(
+        |    array(1L,2L,3L,4L), array(9L,10L,11L,12L), 0.5D) AS j_prune,
+        |  sorted_intersect_at_least_frac_left_long(
+        |    array(2L,3L,4L), array(1L,2L,3L,4L,5L), 0.9D) AS c_pass,
+        |  sorted_intersect_at_least_frac_left_long(
+        |    array(1L,2L,9L), array(3L,4L,5L,6L,7L), 0.9D) AS c_prune
+        |""".stripMargin).collect()(0)
+    assert(row.getAs[Int]("j_pass") == 3)   // jaccard 3/5 >= 0.5, exact
+    assert(row.getAs[Int]("j_prune") == -1) // disjoint -> early exit
+    assert(row.getAs[Int]("c_pass") == 3)   // containment 3/3 >= 0.9
+    assert(row.getAs[Int]("c_prune") == -1) // can't reach 0.9*3
+  }
+
   test("wrong arity / non-literal args fail analysis naming the function") {
     GraftExtensions.register(spark)
     // wrong number of arguments: AnalysisException, not IndexOutOfBounds
@@ -61,6 +80,8 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(GraftExtensions.functions.map(_._1).toSet ==
       Set("multi_min_hash", "sorted_intersect_count",
           "sorted_intersect_count_long", "token_fingerprint",
-          "dot_product", "shingle_md5", "chunk_md5", "token_pairs"))
+          "dot_product", "shingle_md5", "chunk_md5", "token_pairs",
+          "sorted_intersect_at_least_long",
+          "sorted_intersect_at_least_frac_left_long"))
   }
 }

@@ -205,6 +205,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("outer interval join null-pads unmatched clicks after the watermark") {
+    val clicks = MemoryStream[Event](spark)
+    val purchases = MemoryStream[Event](spark)
+    def shape(df: org.apache.spark.sql.DataFrame,
+              ts: String, id: String) =
+      df.selectExpr("user_id", s"ts AS $ts", s"event_id AS $id")
+    val q = EventStreams.intervalJoinOuter(
+        shape(clicks.toDF(), "c_ts", "c_id"),
+        shape(purchases.toDF(), "p_ts", "p_id"),
+        "c_ts", "p_ts", "c_id", "p_id",
+        withinMinutes = 30, watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ijo_out").start()
+    try {
+      // click 1 matches; click 2 never will
+      clicks.addData(Event(1, ts(0), 1, "click", 0),
+                     Event(2, ts(0), 2, "click", 0))
+      purchases.addData(Event(10, ts(20), 1, "purchase", 0))
+      q.processAllAvailable()
+      val early = spark.table("ijo_out")
+        .select($"c_id", $"p_id").as[(Long, Option[Long])].collect().toSet
+      // the unmatched click must NOT have emitted speculatively: its
+      // join window [10:00, 10:30] is not yet past both watermarks
+      assert(early == Set((1L, Some(10L))))
+      // advance both watermarks far past the window end -> the outer
+      // row becomes final and emits exactly once, null-padded
+      clicks.addData(Event(3, ts(120), 9, "click", 0))
+      purchases.addData(Event(11, ts(120), 9, "purchase", 0))
+      q.processAllAvailable()
+      val late = spark.table("ijo_out")
+        .select($"c_id", $"p_id").as[(Long, Option[Long])].collect()
+      assert(late.count(_ == ((2L, None))) == 1, late.toSeq)
+      assert(late.count(_._1 == 1L) == 1) // no duplicate for the match
+    } finally q.stop()
+  }
+
   test("interval join resolves when both sides split one parent frame") {
     // the q101 shape: clicks and purchases are filters of the SAME
     // scan, so an unaliased l("user_id") === r("user_id") would be a
