@@ -60,5 +60,6 @@ object SparkEntry {
     "q104_approx_distinct_gate", "q105_seq_pack", "q106_det_shard",
     "q107_mixture_resample", "q108_source_pctl_filter",
     "q109_incremental_dedup", "q111_image_decode", "q112_audio_decode",
-    "q113_video_decode", "q114_budget_select")
+    "q113_video_decode", "q114_budget_select", "q117_kmv_merge",
+    "q118_rolling_dedup")
 }

@@ -152,6 +152,78 @@ object AnalyticsQueries extends Catalog {
               |  SELECT COUNT(DISTINCT l_partkey) AS exact_distinct
               |  FROM lineitem) e""".stripMargin)),
 
+    // KMV sketch MERGE == RECOMPUTE: per-group sketches (the K
+    // smallest distinct hashes per l_returnflag) merged by
+    // union→distinct→K-smallest must equal the sketch computed over
+    // the whole table in one pass — every global top-K hash is
+    // necessarily inside its own group's top-K. This is the algebraic
+    // property that lets a warehouse keep per-partition sketches and
+    // combine them without rescanning history (the sketch counterpart
+    // of q92's incremental-aggregate contract); both engines compute
+    // BOTH paths, so the hash gate pins merge-exactness numerically.
+    // At 100 TB the per-group top-K is a partial TakeOrdered (K rows
+    // per task) and the merge handles K×groups rows — nothing
+    // corpus-sized is re-shuffled.
+    Q("q117_kmv_merge",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.load(s, dir, "lineitem")
+        val hv = li.select(col("l_returnflag"),
+            conv(substring(md5(col("l_partkey").cast("string")), 1, 8),
+                 16, 10).cast("bigint").as("hv"))
+          .distinct()
+        val perGroup = hv.withColumn("rn",
+            row_number().over(Window.partitionBy(col("l_returnflag"))
+              .orderBy(col("hv"))))
+          .filter(col("rn") <= KmvK)
+        def sketch(h: org.apache.spark.sql.DataFrame, pre: String) =
+          h.orderBy(col("hv")).limit(KmvK)
+            .agg(count(lit(1)).cast("int").as(s"${pre}_k"),
+                 max(col("hv")).as(s"${pre}_rk"))
+            .select(col(s"${pre}_k"), col(s"${pre}_rk"),
+              when(col(s"${pre}_k") < KmvK,
+                  col(s"${pre}_k").cast("bigint"))
+                .otherwise(floor(lit((KmvK - 1).toDouble)
+                  * lit(4294967296.0) / col(s"${pre}_rk").cast("double"))
+                  .cast("bigint")).as(s"${pre}_est"))
+        val merged = sketch(perGroup.select(col("hv")).distinct(), "m")
+        val direct = sketch(hv.select(col("hv")).distinct(), "d")
+        merged.crossJoin(direct)
+          .withColumn("merge_exact",
+            col("m_k") === col("d_k") && col("m_rk") === col("d_rk") &&
+              col("m_est") === col("d_est"))
+      },
+      Some(s"""WITH h AS (
+              |  SELECT DISTINCT l_returnflag, CAST(concat('0x',
+              |    substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))
+              |    AS BIGINT) AS hv
+              |  FROM lineitem),
+              |pg AS (
+              |  SELECT hv FROM (
+              |    SELECT hv, row_number() OVER (
+              |      PARTITION BY l_returnflag ORDER BY hv) AS rn
+              |    FROM h) t WHERE rn <= $KmvK),
+              |mk AS (SELECT DISTINCT hv FROM pg ORDER BY hv LIMIT $KmvK),
+              |dk AS (SELECT DISTINCT hv FROM h ORDER BY hv LIMIT $KmvK),
+              |m AS (
+              |  SELECT CAST(COUNT(*) AS INTEGER) AS m_k,
+              |    MAX(hv) AS m_rk,
+              |    CAST(CASE WHEN COUNT(*) < $KmvK THEN COUNT(*)
+              |      ELSE FLOOR(${KmvK - 1}.0 * 4294967296.0
+              |        / CAST(MAX(hv) AS DOUBLE)) END AS BIGINT) AS m_est
+              |  FROM mk),
+              |d AS (
+              |  SELECT CAST(COUNT(*) AS INTEGER) AS d_k,
+              |    MAX(hv) AS d_rk,
+              |    CAST(CASE WHEN COUNT(*) < $KmvK THEN COUNT(*)
+              |      ELSE FLOOR(${KmvK - 1}.0 * 4294967296.0
+              |        / CAST(MAX(hv) AS DOUBLE)) END AS BIGINT) AS d_est
+              |  FROM dk)
+              |SELECT m.*, d.*,
+              |  (m_k = d_k AND m_rk = d_rk AND m_est = d_est)
+              |    AS merge_exact
+              |FROM m CROSS JOIN d""".stripMargin)),
+
     // The PRODUCTION approximate-distinct path, bounded-error-gated:
     // q76's KMV sketch is the deterministic cross-engine anchor, but
     // what actually runs at 100 TB is HLL (approx_count_distinct — a

@@ -289,6 +289,51 @@ object EventQueries extends Catalog {
               |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               |    AS locf_value
               |FROM cal c LEFT JOIN daily USING (user_id, d)
-              |ORDER BY user_id, day""".stripMargin))
+              |ORDER BY user_id, day""".stripMargin)),
+
+    // Trailing-window dedup — the batch contract of streaming
+    // dropDuplicatesWithinWatermark: an event is a DUP if the same
+    // (user_id, event_type) key fired within the previous 10 minutes.
+    // Previous-OCCURRENCE semantics (the gap is measured to the
+    // immediately preceding event, kept or not — one lag, one pass),
+    // NOT kept-anchor semantics (which chains and needs iterative
+    // state); the distinction is pinned here so the contract is
+    // explicit. Integer-microsecond arithmetic on both engines; one
+    // shuffle on the dedup key, per-key order bounded per entity like
+    // the sessionizer.
+    Q("q118_rolling_dedup",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.load(s, dir, "events")
+          .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("prev_us", lag(col("us"), 1).over(w))
+          .withColumn("kept",
+            when(col("prev_us").isNull
+              || col("us") - col("prev_us") > 600L * 1000000L, 1L)
+              .otherwise(0L))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+               sum(col("kept")).as("n_kept"),
+               sum(when(col("kept") === 1, col("event_id")))
+                 .as("kept_id_sum"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH x AS (
+             |  SELECT event_type, event_id,
+             |    CASE WHEN lag(epoch_us(ts)) OVER (
+             |        PARTITION BY user_id, event_type
+             |        ORDER BY ts, event_id) IS NULL
+             |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |        PARTITION BY user_id, event_type
+             |        ORDER BY ts, event_id) > 600000000
+             |    THEN 1 ELSE 0 END AS kept
+             |  FROM events)
+             |SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+             |  CAST(SUM(CASE WHEN kept = 1 THEN event_id END)
+             |    AS BIGINT) AS kept_id_sum
+             |FROM x GROUP BY event_type
+             |ORDER BY event_type""".stripMargin))
   )
 }
