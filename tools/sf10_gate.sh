@@ -22,7 +22,8 @@ FAMILY="q23_revenue_topk,q43_minhash_lsh_pairs,q47_dedup_components,"
 FAMILY+="q56_regional_revenue,q80_sql_api,q96_recursive_cte,"
 FAMILY+="q103_dedup_components_star,q105_seq_pack,q106_det_shard,"
 FAMILY+="q107_mixture_resample,q108_source_pctl_filter,"
-FAMILY+="q109_incremental_dedup,q110_shard_readback"
+FAMILY+="q109_incremental_dedup,q110_shard_readback,"
+FAMILY+="q114_budget_select,q117_kmv_merge,q118_rolling_dedup"
 OUT=/tmp/verify_sf10
 SPARK_GRAFT_VERIFY_ONLY="$FAMILY" SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Verify testdata/sf10 $OUT" >/dev/null
