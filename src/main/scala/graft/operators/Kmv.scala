@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** KMV (K-minimum-values) sketch building block: the K smallest
+  * DISTINCT hash values, per group — the measurable core of q76/q117.
+  *
+  * The naive formulation (`distinct()` then top-K) shuffles EVERY
+  * distinct value before discarding all but K: at sf10 that is a
+  * 60 M-row exchange feeding a 256-row answer (measured 8.8 s,
+  * BENCH_DETAIL_sf10.json). A KMV sketch is a bounded mergeable
+  * summary, so the scalable shape is the one every production sketch
+  * library uses: a BOUNDED partial sketch per input partition (at most
+  * K values per group per partition, kept in a capped ordered set),
+  * then a merge over |partitions| × |groups| × K rows — thousands,
+  * not tens of millions. This is a legitimate `mapPartitions` use:
+  * no built-in computes a bounded DISTINCT top-K without first paying
+  * the full distinct exchange (TakeOrderedAndProject's partial top-K
+  * keeps duplicates, which can crowd the real K-th distinct value
+  * out of the partial).
+  *
+  * Exactness: the K smallest distinct values of a union are always
+  * contained in the union of each part's K smallest distinct values —
+  * the same merge property q117 pins for per-GROUP sketches applies
+  * per PARTITION. Pinned against the literal distinct→sort→limit in
+  * `OperatorsSpec`.
+  */
+object Kmv {
+
+  /** K smallest distinct `hv` per `group`, as rows (g, hv).
+    * Output is exact and deterministic; the only exchange carries the
+    * partial sketches (≤ K rows per group per input partition).
+    */
+  def kSmallestDistinctByGroup(df: DataFrame, group: Column, hv: Column,
+                               k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val partial = df.select(group.cast("string").as("g"),
+        hv.cast("long").as("hv"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val sets = scala.collection.mutable.Map.empty[
+          String, java.util.TreeSet[java.lang.Long]]
+        it.foreach { case (g, v) =>
+          val s = sets.getOrElseUpdate(g, new java.util.TreeSet[java.lang.Long])
+          // capped insert: only track a value while it can still be
+          // among the K smallest distinct seen in this partition
+          if (s.size < k) s.add(v)
+          else if (v < s.last) { s.add(v); if (s.size > k) s.pollLast() }
+        }
+        sets.iterator.flatMap { case (g, s) =>
+          val b = Seq.newBuilder[(String, Long)]
+          s.forEach(v => b += ((g, v.longValue())))
+          b.result().iterator
+        }
+      }
+      .toDF("g", "hv")
+    // merge: the partials are tiny (≤ K × partitions per group), so
+    // the distinct + rank runs over thousands of rows
+    partial.distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("hv"))))
+      .filter(col("rn") <= k)
+      .select(col("g"), col("hv"))
+  }
+
+  /** Ungrouped variant: the table's K smallest distinct `hv`. */
+  def kSmallestDistinct(df: DataFrame, hv: Column, k: Int): DataFrame =
+    kSmallestDistinctByGroup(df, lit("_"), hv, k).select(col("hv"))
+}

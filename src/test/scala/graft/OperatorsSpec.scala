@@ -247,6 +247,32 @@ class OperatorsSpec extends SparkSpec {
     assert(all.agg(max($"cum_tokens")).as[Long].head() == 250L)
   }
 
+  test("Kmv partial sketches equal the literal distinct-sort-limit") {
+    import graft.operators.Kmv
+    // duplicate-heavy, skewed across groups and partitions: the trap
+    // the partial must survive is duplicates crowding the K-th
+    // distinct value out of a dup-keeping partial top-K
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 5000).map { _ =>
+      val g = s"g${rnd.nextInt(3)}"
+      (g, rnd.nextInt(40).toLong) // only 40 distinct values, many dups
+    }.toDF("g", "hv").repartition(13)
+    for (k <- Seq(1, 5, 64)) {
+      val got = Kmv.kSmallestDistinctByGroup(rows, $"g", $"hv", k)
+        .as[(String, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      val expected = rows.as[(String, Long)].collect()
+        .groupBy(_._1)
+        .view.mapValues(_.map(_._2).distinct.sorted.take(k).toSeq).toMap
+      assert(got == expected, s"k=$k")
+    }
+    val flat = Kmv.kSmallestDistinct(rows, $"hv", 7)
+      .as[Long].collect().sorted.toSeq
+    val flatExp = rows.as[(String, Long)].collect()
+      .map(_._2).distinct.sorted.take(7).toSeq
+    assert(flat == flatExp)
+  }
+
   test("containmentPairs equals brute force and catches what Jaccard misses") {
     // doc 1 is fully quoted inside doc 2 (jaccard 3/10 — far below any
     // dedup threshold); doc 3 is 2/3-contained in doc 2 (below 0.9);
