@@ -97,6 +97,49 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("q114: one corpus-sized exchange; totals from a pruned map-combined agg") {
+    val p = plan("q114_budget_select")
+    // the selection branch shuffles the corpus ONCE, on the score
+    // bucket; the offsets branch must be a partial->final aggregate
+    // (tiny exchange), not a second corpus-sized Window
+    val windows = p.linesIterator.count(_.trim.startsWith("Window "))
+    assert(p.contains("partial_sum"),
+      s"bucket totals lost their map-side partial phase:\n$p")
+    // exactly two Window nodes: the in-bucket cumsum and the
+    // #buckets-row offset window — a third means the offsets branch
+    // re-windowed the corpus (the pre-fix plan)
+    assert(windows <= 2, s"offsets branch re-windows the corpus:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"bucket offsets no longer broadcast back:\n$p")
+  }
+
+  test("q115: salted fixed-count repartition + inline codegen verify") {
+    val p = plan("q115_containment_dedup")
+    // the token join key is low-cardinality: the probe side must keep
+    // its user-pinned (tok, __salt) repartition or AQE byte-based
+    // coalescing funnels the pair scan onto one thread
+    val salted = p.linesIterator.filter(l =>
+      l.contains("hashpartitioning") && l.contains("__salt")).toSeq
+    assert(salted.nonEmpty, s"salt columns left the exchange:\n$p")
+    assert(salted.exists(_.contains("REPARTITION_BY_NUM")),
+      s"task repartition no longer user-pinned:\n$p")
+    // verify evaluates inside the join output (codegen'd containment
+    // merge scan), not in a later re-materialized projection
+    assert(p.contains("sorted_intersect_at_least_frac_left_long"),
+      s"codegen'd containment verify missing:\n$p")
+  }
+
+  test("q117: sketch paths carry no data-sized exchange") {
+    val p = plan("q117_kmv_merge")
+    // the partial KMV sketches bound every exchange to K rows per
+    // group per partition: a HashAggregate keyed on the raw hv with
+    // partial_first/distinct shape over the full table would mean the
+    // naive distinct shuffle crept back. The plan must keep the
+    // mapPartitions (SerializeFromObject after MapPartitions) partial.
+    assert(p.contains("MapPartitions"),
+      s"bounded partial sketch gone — naive distinct is back:\n$p")
+  }
+
   test("q99: in-expression pair generation — no doc_id self-join") {
     val p = plan("q99_cooccurrence")
     // TokenPairs generates the (t1, t2) pairs inside the scan
