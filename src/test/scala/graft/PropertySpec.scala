@@ -191,4 +191,39 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("containmentPairs: prefix filter is exhaustive — equals brute " +
+      "force on random corpora, thresholds, and vocabulary densities") {
+    // The PPJoin both-prefix bound and the fp-safe prefix slack are
+    // the correctness-critical pieces: a one-off bound error silently
+    // DROPS qualifying pairs (the oracle would catch it at one
+    // density; this sweeps densities and thresholds). Vocab size
+    // drives density: tiny vocab => near-total containment, large
+    // vocab => sparse.
+    val docGen = for {
+      vocab <- Gen.oneOf(5, 12, 60, 400)
+      nDocs <- Gen.choose(20, 60)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(1, 25)
+        toks <- Gen.listOfN(len, Gen.choose(0, vocab - 1))
+      } yield toks.map(t => s"w$t").mkString(" "))
+    } yield docs
+    forAllSamples(Gen.zip(docGen, Gen.oneOf(0.5, 0.8, 0.9, 1.0)), n = 8) {
+      case (texts, t) =>
+        val docs = texts.zipWithIndex
+          .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+        val got = operators.Dedup
+          .containmentPairs(docs, $"doc_id", $"text", t)
+          .select($"doc_small", $"doc_big").as[(Long, Long)]
+          .collect().toSet
+        val toks = texts.zipWithIndex
+          .map { case (s, i) => i.toLong -> s.split("\\s+").toSet }
+        val brute = (for {
+          (ia, sa) <- toks; (ib, sb) <- toks
+          if sa.size < sb.size || (sa.size == sb.size && ia < ib)
+          if sa.intersect(sb).size.toDouble / sa.size >= t
+        } yield (ia, ib)).toSet
+        assert(got == brute, s"t=$t vocabs=${texts.take(2)}")
+    }
+  }
 }
