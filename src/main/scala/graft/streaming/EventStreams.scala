@@ -188,6 +188,55 @@ object EventStreams {
     else withTs.dropDuplicates("event_id")
   }
 
+  /** Streaming counterpart of the batch q118 trailing-window dedup:
+    * an event is dropped if the same (user_id, event_type) key fired
+    * within the previous `withinMinutes` — previous-OCCURRENCE
+    * semantics, identical to the batch lag form (the state is the
+    * last event's timestamp whether or not it was kept). State is one
+    * long per active key, evicted by event-time timeout once the
+    * watermark passes last+gap — eviction is semantics-preserving:
+    * any event arriving after that is necessarily > gap from the
+    * evicted timestamp, so it would have been kept (and the state
+    * re-seeded) anyway. Integer-microsecond arithmetic matches the
+    * batch/oracle comparison exactly.
+    */
+  def rollingDedup(events: Dataset[Event], withinMinutes: Int,
+                   watermark: String = "30 minutes"): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    val gapUs = withinMinutes * 60L * 1000000L
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    // captured as a plain Boolean: referencing the Dataset inside the
+    // state function would serialize it into the executor closure
+    val streaming = events.isStreaming
+    val withWm =
+      if (streaming) events.withWatermark("ts", watermark)
+      else events
+    withWm.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Long, Event](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Long, String), rows: Iterator[Event],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var prev = state.getOption.getOrElse(Long.MinValue)
+            val kept = Seq.newBuilder[Event]
+            for (e <- sorted) {
+              val t = micros(e.ts)
+              if (prev == Long.MinValue || t - prev > gapUs) kept += e
+              prev = t
+            }
+            if (prev != Long.MinValue) {
+              state.update(prev)
+              if (streaming)
+                state.setTimeoutTimestamp(prev / 1000L + gapUs / 1000L)
+            }
+            kept.result().iterator
+          }
+      }
+  }
+
   /** Internal funnel state: first-seen epoch-millis per stage event,
     * Long.MaxValue = not seen yet (public: Catalyst instantiates it).
     */

@@ -205,6 +205,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rollingDedup matches the batch lag semantics across stream batches") {
+    // previous-OCCURRENCE chain (the q118 semantics): t0 kept, t0+5m
+    // dropped, t0+11m ALSO dropped — only 6 min after the previous
+    // (dropped) event, even though it is >10 min after the last KEPT
+    // one (kept-anchor semantics would keep it: the exact distinction
+    // the operator docs pin). t0+25m is kept (14 min after previous).
+    val e = Seq(
+      Event(1, ts(0), 1, "click", 0),
+      Event(2, ts(5), 1, "click", 0),   // 5 min after prev -> dropped
+      Event(3, ts(11), 1, "click", 0),  // 6 min after prev -> dropped
+      Event(6, ts(25), 1, "click", 0),  // 14 min after prev -> kept
+      Event(4, ts(0), 1, "view", 0),    // different type -> own chain
+      Event(5, ts(30), 2, "click", 0))  // different user
+    // batch mode first: flatMapGroupsWithState sees each key once
+    val batchKept = EventStreams.rollingDedup(e.toDS(), withinMinutes = 10)
+      .collect().map(_.event_id).toSet
+    assert(batchKept == Set(1L, 6L, 4L, 5L))
+    // streaming, events split across batches in event-time order
+    val src = MemoryStream[Event](spark)
+    val q = EventStreams.rollingDedup(src.toDS(), withinMinutes = 10)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rd_out").start()
+    try {
+      src.addData(e(0), e(4)); q.processAllAvailable()
+      src.addData(e(1)); q.processAllAvailable()
+      src.addData(e(2)); q.processAllAvailable()
+      src.addData(e(3), e(5)); q.processAllAvailable()
+      val got = spark.table("rd_out").as[Event].collect()
+        .map(_.event_id).toSet
+      assert(got == batchKept, s"stream != batch: $got")
+    } finally q.stop()
+  }
+
   test("outer interval join null-pads unmatched clicks after the watermark") {
     val clicks = MemoryStream[Event](spark)
     val purchases = MemoryStream[Event](spark)
