@@ -34,6 +34,19 @@ object BudgetSelect {
 
   /** Select rows until `budget` tokens are reached.
     *
+    * Null scores are REJECTED at execution time (codegen'd
+    * `raise_error`, no extra driver action): `least()` skips nulls, so
+    * a null score would silently land in the top bucket yet sort
+    * nulls-last inside it, corrupting every lower bucket's running
+    * total — the caller must impute or filter first. Out-of-range
+    * scores (outside [0, 1]) remain CORRECT: the bucketization is
+    * monotone for any real score, range only affects bucket balance.
+    *
+    * Column contract: `cum_tokens` is the reserved output column, and
+    * `__score`/`__ntok`/`__bucket`/`__cum_in`/`__offset` are reserved
+    * internals — input frames carrying any of them are rejected
+    * up-front rather than silently overwritten.
+    *
     * @param score    quality score in [0, 1] (any monotone rescale of a
     *                 real classifier score); higher = kept first
     * @param nTok     per-row token count
@@ -49,8 +62,20 @@ object BudgetSelect {
                           buckets: Int = 256): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
     require(budget >= 0, "budget must be >= 0")
+    val reserved = Seq("cum_tokens",
+      "__score", "__ntok", "__bucket", "__cum_in", "__offset")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"input columns collide with BudgetSelect's reserved names: " +
+        s"${clash.mkString(", ")} — rename them before calling")
     val base = df
-      .withColumn("__score", score)
+      .withColumn("__score",
+        when(score.isNull, raise_error(lit(
+          "BudgetSelect: null score — least() would silently route it " +
+            "to the top bucket and corrupt lower buckets' running " +
+            "totals; impute or filter nulls first"))
+          .cast("double"))
+          .otherwise(score))
       .withColumn("__ntok", nTok.cast("long"))
       // monotone coarse bin of the score: equal scores share a bucket,
       // so (bucket DESC, score DESC, tie ASC) == (score DESC, tie ASC)

@@ -32,10 +32,24 @@ object Kmv {
   /** K smallest distinct `hv` per `group`, as rows (g, hv).
     * Output is exact and deterministic; the only exchange carries the
     * partial sketches (≤ K rows per group per input partition).
+    *
+    * Memory bound: the per-partition state is `#groups-in-partition ×
+    * K` longs — bounded in ROWS per group but NOT in groups. A
+    * mis-aimed call with a high-cardinality group column (a doc id, a
+    * join key) would grow the map without limit, and the failure mode
+    * would be an opaque executor OOM mid-task. `maxGroups` (default
+    * 1 M ≈ ≤2 GB of task state at K=256, far past any legitimate
+    * sketch-dimension cardinality) turns that into a loud, named
+    * error the moment a partition exceeds it; raise it only if the
+    * group dimension is genuinely that wide — past that, a bounded
+    * sketch per group is the wrong plan and the generic
+    * distinct→rank path (what `OperatorsSpec` pins this against)
+    * is the honest fallback.
     */
   def kSmallestDistinctByGroup(df: DataFrame, group: Column, hv: Column,
-                               k: Int): DataFrame = {
+                               k: Int, maxGroups: Int = 1 << 20): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    require(maxGroups >= 1, "maxGroups must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     val partial = df.select(group.cast("string").as("g"),
@@ -45,7 +59,16 @@ object Kmv {
         val sets = scala.collection.mutable.Map.empty[
           String, java.util.TreeSet[java.lang.Long]]
         it.foreach { case (g, v) =>
-          val s = sets.getOrElseUpdate(g, new java.util.TreeSet[java.lang.Long])
+          val s = sets.getOrElseUpdate(g, {
+            if (sets.size >= maxGroups)
+              throw new IllegalStateException(
+                s"Kmv.kSmallestDistinctByGroup: more than $maxGroups " +
+                  "distinct groups in one partition — the group column " +
+                  "looks high-cardinality, so the bounded per-partition " +
+                  "sketch would OOM; use the generic distinct->rank " +
+                  "path or raise maxGroups")
+            new java.util.TreeSet[java.lang.Long]
+          })
           // capped insert: only track a value while it can still be
           // among the K smallest distinct seen in this partition
           if (s.size < k) s.add(v)

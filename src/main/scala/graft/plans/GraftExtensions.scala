@@ -56,6 +56,11 @@ object GraftExtensions {
         org.apache.spark.sql.types.DoubleType)
     e.eval(null) match {
       case n: Number => n.doubleValue()
+      // a bare SQL decimal literal (0.9 without the D suffix) folds to
+      // Spark's Decimal, which is NOT a java.lang.Number — without this
+      // arm a perfectly foldable literal would fail analysis with the
+      // misleading non-foldable error
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
       case _ =>
         throw graftbridge.nonFoldableArgumentError(fn, param,
           org.apache.spark.sql.types.DoubleType)

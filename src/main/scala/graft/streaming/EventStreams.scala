@@ -199,6 +199,22 @@ object EventStreams {
     * evicted timestamp, so it would have been kept (and the state
     * re-seeded) anyway. Integer-microsecond arithmetic matches the
     * batch/oracle comparison exactly.
+    *
+    * Batch-equivalence bound: events are sorted by event time WITHIN
+    * each micro-batch, so in-batch disorder is handled, but the state
+    * cannot rewind ACROSS micro-batches — if a key's events arrive
+    * out of event-time order across batch boundaries (late but still
+    * inside the watermark), `prev` moves backward and keep/drop
+    * decisions can differ from the batch lag form even though every
+    * event is admitted. Equivalence therefore holds exactly when each
+    * key's arrival order across batches respects event time (the
+    * common per-entity-ordered ingest, e.g. Kafka partitioned by
+    * user); the watermark-eviction argument above covers timeouts,
+    * not cross-batch disorder. A full fix would buffer per-key events
+    * until the watermark and emit in event-time order —
+    * deliberately not done here: it turns one long of state per key
+    * into an event buffer, which is the cost profile of
+    * `sessionizeEvents`, not a dedup guard.
     */
   def rollingDedup(events: Dataset[Event], withinMinutes: Int,
                    watermark: String = "30 minutes"): Dataset[Event] = {

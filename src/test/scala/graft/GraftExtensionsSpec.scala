@@ -52,6 +52,22 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getAs[Int]("c_prune") == -1) // can't reach 0.9*3
   }
 
+  test("bare decimal threshold literal (no D suffix) folds to Double") {
+    GraftExtensions.register(spark)
+    // a plain SQL decimal literal evals to Spark's Decimal (not a
+    // java.lang.Number) — the builder must accept it, not report the
+    // misleading "non-foldable argument"
+    val row = spark.sql(
+      """SELECT
+        |  sorted_intersect_at_least_long(
+        |    array(1L,2L,3L,4L), array(2L,3L,4L,5L), 0.5) AS j,
+        |  sorted_intersect_at_least_frac_left_long(
+        |    array(2L,3L,4L), array(1L,2L,3L,4L,5L), 0.9) AS c
+        |""".stripMargin).collect()(0)
+    assert(row.getAs[Int]("j") == 3)
+    assert(row.getAs[Int]("c") == 3)
+  }
+
   test("wrong arity / non-literal args fail analysis naming the function") {
     GraftExtensions.register(spark)
     // wrong number of arguments: AnalysisException, not IndexOutOfBounds

@@ -247,6 +247,43 @@ class OperatorsSpec extends SparkSpec {
     assert(all.agg(max($"cum_tokens")).as[Long].head() == 250L)
   }
 
+  test("selectByTokenBudget rejects null scores and reserved columns") {
+    import graft.operators.BudgetSelect
+    val withNull = Seq((1L, Some(0.9), 10), (2L, None, 10), (3L, Some(0.5), 10))
+      .toDF("id", "score", "n_tok")
+    val ex = intercept[Exception] {
+      BudgetSelect
+        .selectByTokenBudget(withNull, $"score", $"n_tok", $"id", 100L)
+        .collect()
+    }
+    // raise_error surfaces wrapped in Spark's runtime error class;
+    // the message must name the operator and the null-score cause
+    assert(ex.getMessage.contains("BudgetSelect") ||
+      Option(ex.getCause).exists(_.getMessage.contains("BudgetSelect")))
+    val clash = Seq((1L, 0.9, 10, 5L)).toDF("id", "score", "n_tok", "cum_tokens")
+    val bad = intercept[IllegalArgumentException] {
+      BudgetSelect.selectByTokenBudget(clash, $"score", $"n_tok", $"id", 100L)
+    }
+    assert(bad.getMessage.contains("cum_tokens"))
+  }
+
+  test("Kmv maxGroups guard trips loudly on high-cardinality groups") {
+    import graft.operators.Kmv
+    // group = the row id itself: the mis-aimed call the guard exists
+    // for; with maxGroups=8 one partition must exceed the cap
+    val rows = (1L to 1000L).map(i => (i.toString, i))
+      .toDF("g", "hv").repartition(2)
+    val ex = intercept[org.apache.spark.SparkException] {
+      Kmv.kSmallestDistinctByGroup(rows, $"g", $"hv", 4, maxGroups = 8)
+        .collect()
+    }
+    assert(ex.getMessage.contains("maxGroups") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxGroups")))
+    // and the default cap leaves legitimate dimensions untouched
+    assert(Kmv.kSmallestDistinctByGroup(rows, lit("one"), $"hv", 4)
+      .count() == 4)
+  }
+
   test("Kmv partial sketches equal the literal distinct-sort-limit") {
     import graft.operators.Kmv
     // duplicate-heavy, skewed across groups and partitions: the trap
