@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Sampling}
+import graft.operators.{BlockDials, Dedup, Sampling}
 
 /** Deduplication surface over `documents`: exact, MinHash signatures,
   * MinHash-LSH candidate pairs, SimHash fingerprints, blocked n-gram
@@ -295,20 +295,34 @@ object DedupQueries extends Catalog {
            |FROM d ORDER BY doc_id""".stripMargin
       }),
 
+    // Size-DERIVED length-band width (BlockDials.lengthBucketWidth):
+    // with the round-14 fixed width 500 the in-block candidate volume
+    // grew quadratically (sf10: 186 s, 4.6 B result rows). The dial —
+    // ceil(n/1250) equal-width n_chars bands over [0, max] — is part
+    // of the declared semantics: the oracle derives the identical
+    // width from the identical stats in its params CTE, so the hash
+    // gate still applies at every sf where DuckDB completes.
     Q("q45_jaccard_pairs",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
+        val (n, mx) = BlockDials.countAndMax(d, col("n_chars"))
+        val w = BlockDials.lengthBucketWidth(n, mx)
         Dedup.jaccardPairs(d, col("doc_id"), col("text"),
             blockKeys = Seq(col("lang"),
-              floor(col("n_chars") / 500.0).cast("int")),
+              floor(col("n_chars") / w.toDouble).cast("int")),
             threshold = 0.8)
           .withColumn("jaccard", round(col("jaccard"), 6))
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      Some(s"""WITH d AS (SELECT doc_id, lang,
-              |  CAST(FLOOR(n_chars / 500.0) AS INT) AS bk,
+      Some(s"""WITH stats AS (
+              |  SELECT COUNT(*) AS n, MAX(n_chars) AS mx FROM documents),
+              |params AS (
+              |  SELECT GREATEST(1, CAST(CEIL((mx + 1) /
+              |    CEIL(n / 1250.0)) AS BIGINT)) AS w FROM stats),
+              |d AS (SELECT doc_id, lang,
+              |  CAST(FLOOR(n_chars / w) AS INT) AS bk,
               |  list_distinct($duckToks) AS toks
-              |  FROM documents),
+              |  FROM documents CROSS JOIN params),
               |pairs AS (
               |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
               |    CAST(len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS DOUBLE)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.VectorFunctions._
-import graft.operators.Similarity
+import graft.operators.{BlockDials, Similarity}
 
 /** Similarity-search surface over `embeddings` (array<float>, 64-dim):
   * exact brute-force cosine top-k, sign-bit LSH bucketed top-k, and
@@ -180,14 +180,31 @@ object SimilarityQueries extends Catalog {
       bench = false), // O(n²) exact pair scan — not a headline op
 
     // LSH-blocked near-dup: q52's production shape — exact cosine only
-    // within a sign-bit bucket (bucket equi-join, never all-pairs)
+    // within a sign-bit bucket (bucket equi-join, never all-pairs).
+    // The bit count is size-DERIVED (BlockDials.signBits): round 14's
+    // fixed 4 bits saturated at sf10 (98 s, 1.25 B result rows —
+    // occupancy grows linearly with the corpus, in-bucket pairs
+    // quadratically). The derivation — smallest b with
+    // 2^b >= ceil(n/750) — is part of the declared semantics: the
+    // oracle computes the identical bit count in its params CTE
+    // (pure bit-length, no floating log2), so the hash gate applies
+    // unchanged at every sf.
     Q("q57_near_dup_blocked",
-      (s, dir) => Similarity.cosinePairsBlocked(
-          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-          0.45, NBits)
-        .orderBy(col("id_a"), col("id_b")),
-      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-              |  ${duckBucket("embedding")} AS bucket FROM embeddings),
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val nb = BlockDials.signBits(e.count())
+        Similarity.cosinePairsBlocked(e, "vec_id", "embedding", 0.45, nb)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH params AS (
+              |  SELECT LEAST(16, GREATEST(1, LENGTH(BIN(
+              |    CAST(CEIL(COUNT(*) / 750.0) AS BIGINT) - 1)))) AS nb
+              |  FROM embeddings),
+              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+              |  CAST(list_sum(list_transform(range(0, nb), j ->
+              |    CASE WHEN embedding[j + 1] > 0
+              |    THEN (1::BIGINT << j) ELSE 0 END)) AS INT) AS bucket
+              |  FROM embeddings CROSS JOIN params),
               |pairs AS (
               |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               |    ROUND(${duckCos("a.v", "b.v")}, 9) AS cos

@@ -226,4 +226,83 @@ class PropertySpec extends SparkSpec {
         assert(got == brute, s"t=$t vocabs=${texts.take(2)}")
     }
   }
+
+  test("BlockDials formulas: pure, integer-exact, DuckDB-parity pinned") {
+    import graft.operators.BlockDials
+    // signBits values cross-checked against the oracle's
+    // GREATEST(1, LENGTH(BIN(CEIL(n/750.0)::BIGINT - 1))) in DuckDB
+    // 1.0.0 (recorded in PLANS.md): the two must stay in lockstep or
+    // q57's hash gate breaks.
+    assert(BlockDials.signBits(0) == 1)
+    assert(BlockDials.signBits(500) == 1)    // sf0.01
+    assert(BlockDials.signBits(2000) == 2)   // sf0.1
+    assert(BlockDials.signBits(20000) == 5)  // sf1
+    assert(BlockDials.signBits(200000) == 9) // sf10
+    assert(BlockDials.signBits(2000000) == 12)
+    assert(BlockDials.signBits(Long.MaxValue / 4) == 16) // maxBits clamp
+    // power-of-two edge: k = exactly 2^b must give b, not b+1
+    assert(BlockDials.signBits(750L * 16) == 4)
+    assert(BlockDials.signBits(750L * 16 + 1) == 5)
+    // width: k = ceil(n/1250) bands over [0, mx]
+    assert(BlockDials.lengthBucketWidth(500, 700) == 701)   // one band
+    assert(BlockDials.lengthBucketWidth(50000, 700) == 18)  // 40 bands
+    assert(BlockDials.lengthBucketWidth(500000, 700) == 2)  // 400 bands
+    assert(BlockDials.lengthBucketWidth(0, 0) == 1)         // empty corpus
+    // width never hits 0 even when bands outnumber characters
+    assert(BlockDials.lengthBucketWidth(10000000, 3) == 1)
+  }
+
+  test("blocking dials are blocking-only: narrow-dial pairs = " +
+      "wide-dial pairs restricted to co-blocked docs") {
+    // The q45/q57 auto-dial contract: resolution decides which pairs
+    // are COMPARED, never a compared pair's score or threshold
+    // outcome. So the narrow result must equal the wide result
+    // filtered to pairs sharing a narrow block — any deviation means
+    // the dial leaked into scoring.
+    val docGen = for {
+      nDocs <- Gen.choose(30, 80)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(1, 30)
+        toks <- Gen.listOfN(len, Gen.choose(0, 25))
+      } yield toks.map(t => s"w$t").mkString(" "))
+    } yield docs
+    forAllSamples(docGen, n = 5) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (s, i) => (i.toLong, s, s.length) }
+        .toDF("doc_id", "text", "n_chars")
+      val lens = texts.zipWithIndex.map { case (s, i) => i.toLong -> s.length }.toMap
+      val w = 40
+      def pairs(width: Int): Set[(Long, Long)] = operators.Dedup
+        .jaccardPairs(docs, $"doc_id", $"text",
+          blockKeys = Seq(floor($"n_chars" / width.toDouble).cast("int")),
+          threshold = 0.5, chunks = 4)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      val wide = pairs(1 << 20) // one block: every pair compared
+      val narrow = pairs(w)
+      val expected = wide.filter { case (a, b) =>
+        lens(a) / w == lens(b) / w
+      }
+      assert(narrow == expected)
+    }
+    // same contract for the sign-bit dial: nb+k buckets REFINE nb
+    // buckets (bit i is independent of bit count), so the finer
+    // result is the coarser one filtered to agreement on the extra bits
+    val embGen = Gen.listOfN(60,
+      Gen.listOfN(8, Gen.choose(-1.0, 1.0)))
+    forAllSamples(embGen, n = 5) { vecs =>
+      val emb = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(_.toFloat).toArray) }
+        .toDF("vec_id", "embedding")
+      def pairs(nb: Int): Set[(Long, Long)] = operators.Similarity
+        .cosinePairsBlocked(emb, "vec_id", "embedding", 0.2, nb, chunks = 4)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      val coarse = pairs(1)
+      val fine = pairs(3)
+      val bits = vecs.zipWithIndex.map { case (v, i) =>
+        i.toLong -> (0 until 3).map(d => v(d).toFloat > 0).toVector
+      }.toMap
+      val expected = coarse.filter { case (a, b) => bits(a) == bits(b) }
+      assert(fine == expected)
+    }
+  }
 }
