@@ -331,19 +331,18 @@ object Dedup {
       .join(rarity, "doc_id")
       .withColumn("n", size(col("stoks")))
       .filter(col("n") > 0)
-    // Prefix probe side: the floor((1-t)n)+2 rarest tokens of each doc,
-    // CARRYING the hash-sorted array so the verify runs inline in the
-    // join projection — non-qualifying candidates die inside the join
-    // (q45's shape); only qualifying pairs are deduped afterwards. The
-    // arrays are compact longs, so the ~prefixLen-fold replication is
-    // cheap against re-attaching them through two id-keyed joins.
+    // Prefix probe side: the floor((1-t)n)+2 rarest tokens of each doc.
+    // Both join sides are SKINNY — (id, n, tok[, pos]) longs only; the
+    // token arrays do NOT ride through the candidate join (round 15 —
+    // the r14 advisor measured the array-carrying index explode as the
+    // pipeline's largest shuffle, O(chunks × Σ|doc|²) bytes). They are
+    // re-attached AFTER candidate dedup, so each doc's array is
+    // shuffled once, not once per (position × salt).
     val prefLen =
       (floor(lit(1.0 - threshold) * col("n")) + lit(2)).cast("int")
     val probes = docs.select(col("doc_id").as("a_id"), col("n").as("a_n"),
-      col("stoks").as("a_toks"),
       explode(slice(col("rtoks"), lit(1), prefLen)).as("tok"))
     val index = docs.select(col("doc_id").as("b_id"), col("n").as("b_n"),
-      col("stoks").as("b_toks"),
       posexplode(col("rtoks")).as(Seq("pos_b", "tok")))
     // Both-prefix lemma (Bayardo et al. WWW'07): the FIRST shared token
     // in the global rarity order sits inside BOTH sides' prefixes, so
@@ -356,21 +355,36 @@ object Dedup {
     // the shuffled rows are tiny in bytes while the downstream pair
     // enumeration is quadratic — exactly the shape AQE's byte-based
     // coalescing funnels onto one thread (the round-10 q45/q57
-    // lesson). Salt the probe side by doc hash, replicate the (small)
-    // index side across all salts, and pin a fixed-count repartition
-    // on (tok, salt) that AQE may not coalesce.
+    // lesson). Salt the FULL-token index side by doc hash and
+    // replicate the PREFIX probe side across all salts — the probe
+    // explode is the (1-t)-fraction side, so replicating it costs
+    // ~(1-t)·chunks·Σ|doc| skinny rows where replicating the index
+    // would cost chunks·Σ|doc| — and pin a fixed-count repartition on
+    // (tok, salt) that AQE may not coalesce.
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val probesS = probes
-      .withColumn("__salt", pmod(xxhash64(col("a_id")), lit(chunks)).cast("int"))
-      .repartition(nParts, col("tok"), col("__salt"))
-    val indexS = index
       .withColumn("__salt", explode(sequence(lit(0), lit(chunks - 1))))
       .repartition(nParts, col("tok"), col("__salt"))
-    probesS.join(indexS,
+    val indexS = index
+      .withColumn("__salt", pmod(xxhash64(col("b_id")), lit(chunks)).cast("int"))
+      .repartition(nParts, col("tok"), col("__salt"))
+    val candidates = probesS.join(indexS,
         probesS("tok") === indexS("tok") &&
           probesS("__salt") === indexS("__salt") && bPrefixBound &&
           (col("a_n") < col("b_n") ||
             (col("a_n") === col("b_n") && col("a_id") < col("b_id"))))
+      // a candidate surfaces once per shared prefix token; dedup the
+      // skinny (a,b) pairs BEFORE attaching arrays and verifying, so
+      // the merge scan runs once per pair, not once per occurrence
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val small = docs.select(col("doc_id").as("a_id"), col("n").as("a_n"),
+      col("stoks").as("a_toks"))
+    val big = docs.select(col("doc_id").as("b_id"),
+      col("stoks").as("b_toks"))
+    candidates
+      .join(small, "a_id")
+      .join(big, "b_id")
       // codegen'd merge scan with containment-target early exit (the
       // -1 abort makes the computed containment negative: self-filters)
       .withColumn("inter",
@@ -379,11 +393,8 @@ object Dedup {
       .withColumn("containment",
         col("inter").cast("double") / col("a_n").cast("double"))
       .filter(col("containment") >= threshold)
-      // a qualifying pair surfaces once per shared prefix token;
-      // containment is pair-deterministic, so distinct dedupes exactly
       .select(col("a_id").as("doc_small"), col("b_id").as("doc_big"),
         col("containment"))
-      .distinct()
   }
 
   /** The dedup DECISION step: candidate pairs (from [[minhashCandidates]],

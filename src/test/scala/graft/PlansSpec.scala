@@ -113,18 +113,23 @@ class PlansSpec extends SparkSpec {
       s"bucket offsets no longer broadcast back:\n$p")
   }
 
-  test("q115: salted fixed-count repartition + inline codegen verify") {
+  test("q115: salted fixed-count repartition + skinny candidate join") {
     val p = plan("q115_containment_dedup")
-    // the token join key is low-cardinality: the probe side must keep
-    // its user-pinned (tok, __salt) repartition or AQE byte-based
+    // the token join key is low-cardinality: the candidate join must
+    // keep its user-pinned (tok, __salt) repartition or AQE byte-based
     // coalescing funnels the pair scan onto one thread
     val salted = p.linesIterator.filter(l =>
       l.contains("hashpartitioning") && l.contains("__salt")).toSeq
     assert(salted.nonEmpty, s"salt columns left the exchange:\n$p")
     assert(salted.exists(_.contains("REPARTITION_BY_NUM")),
       s"task repartition no longer user-pinned:\n$p")
-    // verify evaluates inside the join output (codegen'd containment
-    // merge scan), not in a later re-materialized projection
+    // round 15: the candidate join is SKINNY — no token array rides
+    // the salted exchanges (the r14 advisor measured the array-
+    // carrying index explode as the largest shuffle in the pipeline,
+    // O(chunks × Σ|doc|²) bytes). Arrays re-attach post-dedup.
+    salted.foreach(l => assert(!l.contains("toks"),
+      s"token arrays back in the salted candidate exchange:\n$l"))
+    // the codegen'd containment merge scan still gates the output
     assert(p.contains("sorted_intersect_at_least_frac_left_long"),
       s"codegen'd containment verify missing:\n$p")
   }
