@@ -220,13 +220,23 @@ object Bench {
     // per-query regression flag can be judged against ITS OWN noise
     // band instead of the suite-level total_min/total_max
     if (detailPath.nonEmpty) {
+      // An explicit SPARK_GRAFT_BENCH_ONLY list can include catalog
+      // entries the headline set deliberately excludes (bench=false:
+      // q110 measures a parquet WRITE+verified readback against a
+      // count-only oracle — apples-to-oranges in any engine
+      // comparison). Those rows are still useful as scale evidence,
+      // but each must carry its exclusion INSIDE the artifact so no
+      // reader mistakes it for a comparable engine-vs-engine number
+      // (r14 verdict ask).
+      val headline = SparkEntry.benchQueries.toSet
       val detail = healed.map { case (k, v, suiteMed) =>
+        val flag = if (headline(k)) "" else ""","bench":false"""
         val stats = v match {
           case Some(ts) =>
             val iso = suiteMed
               .map(m => s""","suite_med":${num(3, m)}""").getOrElse("")
-            s"""{"min":${num(3, ts.head)},"med":${num(3, med(ts))},"max":${num(3, ts.last)}$iso}"""
-          case None => """{"failed":true}"""
+            s"""{"min":${num(3, ts.head)},"med":${num(3, med(ts))},"max":${num(3, ts.last)}$iso$flag}"""
+          case None => s"""{"failed":true$flag}"""
         }
         "\"" + k + "\":" + stats
       }.mkString("{\n  ", ",\n  ", "\n}")

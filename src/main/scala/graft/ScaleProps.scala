@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BlockDials, Dedup, Similarity}
+import graft.functions.TextFunctions.tokens
+import graft.functions.VectorFunctions.{dot, l2Norm, signBucket}
+import graft.functions.expressions.CustomExpressions.sortedIntersectCountLong
+
+/** Property gate for the two pair operators whose sf10 result sets
+  * are too large to hash against the DuckDB oracle (q45 ~44 M rows,
+  * q57 ~500 M with the round-15 auto dials): verify, fully
+  * distributed (no driver collect of the result), the laws a correct
+  * pair miner must satisfy, plus an exact recompute of a ~2k-pair
+  * random sample. The r14 verdict asked for exactly this
+  * ("property gates at sf10: pair symmetry, threshold soundness on a
+  * sampled verify").
+  *
+  * Checks per operator:
+  *  - soundness: every reported score is within [threshold, 1];
+  *  - orientation: doc_a < doc_b (canonical, so symmetry is vacuous);
+  *  - uniqueness: no duplicate pair;
+  *  - co-blocking: both endpoints share the derived block (the pair
+  *    could legally be compared);
+  *  - sampled exactness: a seeded ~2k-pair sample re-scored from raw
+  *    text/embeddings matches the reported score.
+  *
+  * Writes a driver-shaped JSON artifact and exits non-zero on any
+  * failed law.
+  *
+  *   sbt "runMain graft.ScaleProps testdata/sf10 PROPS_sf10_r15.json"
+  */
+object ScaleProps {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("testdata/sf10")
+    val outPath = args.lift(1).getOrElse("PROPS.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def checkBlock(name: String, pairs: DataFrame, scoreCol: String,
+                   aCol: String, bCol: String, threshold: Double,
+                   meta: DataFrame, // (id, block) one row per doc
+                   exact: DataFrame => DataFrame // sample -> re-scored
+                  ): (String, Map[String, Any]) = {
+      val p = pairs.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val agg = p.agg(
+        count(lit(1)).as("n"),
+        min(col(scoreCol)).as("mn"),
+        max(col(scoreCol)).as("mx"),
+        sum(when(col(aCol) >= col(bCol), 1L).otherwise(0L)).as("misordered"))
+        .head()
+      val n = agg.getLong(0)
+      val sound = n == 0 ||
+        (agg.getDouble(1) >= threshold && agg.getDouble(2) <= 1.0 + 1e-9)
+      val oriented = n == 0 || agg.getLong(3) == 0L
+      val dups = p.groupBy(col(aCol), col(bCol)).count()
+        .filter(col("count") > 1).limit(1).count() == 0L
+      val coblocked = p
+        .join(meta.select(col("id").as(aCol), col("block").as("__ba")), aCol)
+        .join(meta.select(col("id").as(bCol), col("block").as("__bb")), bCol)
+        .filter(col("__ba") =!= col("__bb")).limit(1).count() == 0L
+      // seeded sample, exact re-score from the raw inputs
+      val frac = math.min(1.0, 2000.0 / math.max(1L, n))
+      val sample = p.sample(withReplacement = false, frac, seed = 42L)
+      val rescored = exact(sample)
+      val sampleN = rescored.count()
+      val exactOk = rescored
+        .filter(abs(col(scoreCol) - col("__rescore")) > 1e-9)
+        .limit(1).count() == 0L
+      p.unpersist()
+      val all = Map[String, Any](
+        "pairs" -> n, "sampled" -> sampleN,
+        "soundness" -> sound, "orientation" -> oriented,
+        "uniqueness" -> dups, "co_blocking" -> coblocked,
+        "sampled_exact" -> exactOk)
+      println(s"[props] $name: $all")
+      (name, all)
+    }
+
+    // ---- q45: blocked token-set Jaccard, auto width ----
+    val docs = Tables.load(spark, sfDir, "documents")
+    val (nd, mx) = BlockDials.countAndMax(docs, col("n_chars"))
+    val w = BlockDials.lengthBucketWidth(nd, mx)
+    val q45Pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
+      blockKeys = Seq(col("lang"),
+        floor(col("n_chars") / w.toDouble).cast("int")),
+      threshold = 0.8)
+    val q45Meta = docs.select(col("doc_id").as("id"),
+      concat_ws("|", col("lang"),
+        floor(col("n_chars") / w.toDouble).cast("int")).as("block"))
+    val docToks = docs.select(col("doc_id"),
+      array_sort(transform(array_distinct(tokens(col("text"))),
+        t => xxhash64(t))).as("__t"))
+    val q45Exact = (s: DataFrame) => s
+      .join(docToks.select(col("doc_id").as("doc_a"), col("__t").as("__ta")), "doc_a")
+      .join(docToks.select(col("doc_id").as("doc_b"), col("__t").as("__tb")), "doc_b")
+      .withColumn("__i",
+        sortedIntersectCountLong(col("__ta"), col("__tb")).cast("double"))
+      .withColumn("__rescore",
+        col("__i") / (size(col("__ta")) + size(col("__tb")) - col("__i")))
+    val r45 = checkBlock("q45_jaccard_pairs", q45Pairs, "jaccard",
+      "doc_a", "doc_b", 0.8, q45Meta, q45Exact)
+
+    // ---- q57: sign-bucket cosine, auto bits ----
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val nb = BlockDials.signBits(emb.count())
+    val q57Pairs = Similarity.cosinePairsBlocked(
+      emb, "vec_id", "embedding", 0.45, nb)
+    val q57Meta = emb.select(col("vec_id").as("id"),
+      signBucket(col("embedding"), nb).as("block"))
+    val vecs = emb.select(col("vec_id"), col("embedding").as("__v"),
+      l2Norm(col("embedding")).as("__nrm"))
+    val q57Exact = (s: DataFrame) => s
+      .join(vecs.select(col("vec_id").as("id_a"), col("__v").as("__va"),
+        col("__nrm").as("__na")), "id_a")
+      .join(vecs.select(col("vec_id").as("id_b"), col("__v").as("__vb"),
+        col("__nrm").as("__nb")), "id_b")
+      .withColumn("__rescore",
+        round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 9))
+    val r57 = checkBlock("q57_near_dup_blocked", q57Pairs, "cos",
+      "id_a", "id_b", 0.45, q57Meta, q57Exact)
+
+    val results = Seq(r45, r57)
+    val json = results.map { case (name, m) =>
+      val fields = m.map {
+        case (k, v: Boolean) => s""""$k": $v"""
+        case (k, v) => s""""$k": $v"""
+      }.mkString(", ")
+      s""""$name": {$fields}"""
+    }.mkString(",\n  ")
+    val dials = s""""dials": {"q45_width": $w, "q57_nbits": $nb}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      s"""{"sf": "$sfDir", $dials,\n  $json\n}\n""".getBytes("UTF-8"))
+    val ok = results.forall(_._2.collect { case (_, b: Boolean) => b }
+      .forall(identity))
+    println(s"[props] wrote $outPath ok=$ok")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}

@@ -4,26 +4,41 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 import graft.functions.expressions.{ChunkMd5, DotProduct, MultiMinHash, ShingleMd5, SortedIntersectAtLeastFracLeftLong, SortedIntersectAtLeastLong, SortedIntersectCount, SortedIntersectCountLong, TokenFingerprint, TokenPairs}
 
 /** SQL-surface registration of the engine's custom expressions, so
-  * `spark.sql("SELECT token_fingerprint(lower(text)) …")` works.
+  * `spark.sql("SELECT token_fingerprint(lower(text)) …")` works — and
+  * of the whole-operator entry points as TABLE functions, so
+  * `spark.sql("SELECT * FROM graft_lsh_pairs('docs', …)")` works: a
+  * pure-SQL user (the population the reference serves) can drive
+  * exact/LSH dedup, containment dedup, budget selection, sequence
+  * packing and KMV sketches without touching the Scala API. Each
+  * table function takes the SOURCE as a view/table name literal and
+  * columns as name literals, and expands at analysis time into the
+  * operator's own logical plan — the SQL path and the DataFrame path
+  * share one implementation, one optimizer run, one physical plan
+  * (pinned in `SqlSurfaceSpec`; q119 oracles it end-to-end).
   *
   * Two entry points:
   *  - `GraftExtensions` for session construction:
   *    `SparkSession.builder().withExtensions(new GraftExtensions)` or
   *    `spark.sql.extensions=graft.plans.GraftExtensions`;
   *  - `GraftExtensions.register(spark)` to add the functions to an
-  *    already-running session (temp-function registry).
+  *    already-running session (temp registries).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    tableFunctions.foreach { case (name, info, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name), info, builder))
+    }
+  }
 }
 
 object GraftExtensions {
@@ -130,10 +145,136 @@ object GraftExtensions {
           doubleLit("sorted_intersect_at_least_frac_left_long",
             "threshold", es, 2)))))
 
-  /** Register into an existing session's temp-function registry. */
-  def register(spark: SparkSession): Unit =
+  // ---- whole-operator TABLE functions -------------------------------
+
+  /** Resolve argument `idx` as a literal String (view or column
+    * name), with the same loud analysis errors as [[intLit]].
+    */
+  private def strLit(fn: String, param: String,
+                     es: Seq[Expression], idx: Int): String = {
+    val e = es(idx)
+    if (!e.foldable)
+      throw graftbridge.nonFoldableArgumentError(fn, param,
+        org.apache.spark.sql.types.StringType)
+    e.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case _ =>
+        throw graftbridge.nonFoldableArgumentError(fn, param,
+          org.apache.spark.sql.types.StringType)
+    }
+  }
+
+  private def longLit(fn: String, param: String,
+                      es: Seq[Expression], idx: Int): Long = {
+    val e = es(idx)
+    if (!e.foldable)
+      throw graftbridge.nonFoldableArgumentError(fn, param,
+        org.apache.spark.sql.types.LongType)
+    e.eval(null) match {
+      case n: Number => n.longValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toLong
+      case _ =>
+        throw graftbridge.nonFoldableArgumentError(fn, param,
+          org.apache.spark.sql.types.LongType)
+    }
+  }
+
+  /** The named view/table, resolved against the session running the
+    * analysis (table functions expand at analysis time, when
+    * `SparkSession.active` is the analyzing session).
+    */
+  private def activeTable(view: String) =
+    SparkSession.active.table(view)
+
+  private def arityT(fn: String, n: Int)(
+      build: Seq[Expression] => LogicalPlan): Seq[Expression] => LogicalPlan =
+    es => {
+      if (es.length != n)
+        throw graftbridge.wrongNumArgsError(fn, n, es.length)
+      build(es)
+    }
+
+  private def tfInfo(name: String): ExpressionInfo =
+    new ExpressionInfo("graft.plans.GraftExtensions", name)
+
+  /** (name, info, builder) for each operator-level table function.
+    * Contract: first argument is always the source VIEW NAME; column
+    * arguments are column names in that view; the plan returned is
+    * the operator's own DataFrame plan, so SQL and Scala callers get
+    * the identical optimized shape. Only operators whose dials are
+    * plain literals are exposed — the size-derived-dial variants
+    * (BlockDials) run a driver action, which a function expansion
+    * inside analysis must not do.
+    */
+  val tableFunctions: Seq[(String, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] = {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{BudgetSelect, Dedup, Kmv, Packing}
+    def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+      df.queryExecution.logical
+    Seq(
+      ("graft_exact_dedup", tfInfo("graft_exact_dedup"),
+        arityT("graft_exact_dedup", 3)(es => plan(Dedup.exact(
+          activeTable(strLit("graft_exact_dedup", "view", es, 0)),
+          col(strLit("graft_exact_dedup", "idCol", es, 1)),
+          col(strLit("graft_exact_dedup", "keyCol", es, 2)))))),
+      ("graft_minhash_signatures", tfInfo("graft_minhash_signatures"),
+        arityT("graft_minhash_signatures", 4)(es =>
+          plan(Dedup.minhashSignatures(
+            activeTable(strLit("graft_minhash_signatures", "view", es, 0)),
+            col(strLit("graft_minhash_signatures", "idCol", es, 1)),
+            col(strLit("graft_minhash_signatures", "textCol", es, 2)),
+            intLit("graft_minhash_signatures", "numHashes", es, 3))))),
+      ("graft_lsh_pairs", tfInfo("graft_lsh_pairs"),
+        arityT("graft_lsh_pairs", 5)(es => plan(Dedup.minhashCandidates(
+          activeTable(strLit("graft_lsh_pairs", "view", es, 0)),
+          col(strLit("graft_lsh_pairs", "idCol", es, 1)),
+          col(strLit("graft_lsh_pairs", "textCol", es, 2)),
+          intLit("graft_lsh_pairs", "numHashes", es, 3),
+          intLit("graft_lsh_pairs", "bands", es, 4))))),
+      ("graft_containment_pairs", tfInfo("graft_containment_pairs"),
+        arityT("graft_containment_pairs", 4)(es =>
+          plan(Dedup.containmentPairs(
+            activeTable(strLit("graft_containment_pairs", "view", es, 0)),
+            col(strLit("graft_containment_pairs", "idCol", es, 1)),
+            col(strLit("graft_containment_pairs", "textCol", es, 2)),
+            doubleLit("graft_containment_pairs", "threshold", es, 3))))),
+      ("graft_budget_select", tfInfo("graft_budget_select"),
+        arityT("graft_budget_select", 5)(es =>
+          plan(BudgetSelect.selectByTokenBudget(
+            activeTable(strLit("graft_budget_select", "view", es, 0)),
+            col(strLit("graft_budget_select", "scoreCol", es, 1)),
+            col(strLit("graft_budget_select", "nTokCol", es, 2)),
+            col(strLit("graft_budget_select", "tieCol", es, 3)),
+            longLit("graft_budget_select", "budget", es, 4))))),
+      ("graft_pack_sequences", tfInfo("graft_pack_sequences"),
+        arityT("graft_pack_sequences", 4)(es =>
+          plan(Packing.packByTokenBudget(
+            activeTable(strLit("graft_pack_sequences", "view", es, 0)),
+            col(strLit("graft_pack_sequences", "idCol", es, 1)),
+            col(strLit("graft_pack_sequences", "tokenCol", es, 2)),
+            intLit("graft_pack_sequences", "budget", es, 3))))),
+      ("graft_kmv_distinct", tfInfo("graft_kmv_distinct"),
+        arityT("graft_kmv_distinct", 4)(es =>
+          plan(Kmv.kSmallestDistinctByGroup(
+            activeTable(strLit("graft_kmv_distinct", "view", es, 0)),
+            col(strLit("graft_kmv_distinct", "groupCol", es, 1)),
+            col(strLit("graft_kmv_distinct", "hvCol", es, 2)),
+            intLit("graft_kmv_distinct", "k", es, 3))))))
+  }
+
+  /** Register into an existing session's temp registries (scalar and
+    * table functions).
+    */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    tableFunctions.foreach { case (name, _, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
 }

@@ -363,6 +363,54 @@ object AnalyticsQueries extends Catalog {
       },
       Some(Q80Sql)),
 
+    // Operator-level SQL surface end-to-end (r14 verdict task #6):
+    // two whole-operator TABLE functions (exact dedup + grouped KMV
+    // sketch) run purely through spark.sql and compose in one
+    // statement. The table function expands into the operator's own
+    // logical plan at analysis time (plans/GraftExtensions), so this
+    // oracles the SQL path, not a parallel implementation. The KMV
+    // hash is a portable integer mix (Knuth multiplicative, mod a
+    // prime) both engines compute bit-identically in int64.
+    Q("q119_sql_surface",
+      (s, dir) => {
+        Tables.load(s, dir, "documents").createOrReplaceTempView("docs_raw")
+        graft.plans.GraftExtensions.register(s)
+        s.sql("""CREATE OR REPLACE TEMP VIEW docs_keyed AS
+                |SELECT doc_id, lang, md5(text) AS content_hash,
+                |       (doc_id * 2654435761) % 1000000007 AS hv
+                |FROM docs_raw""".stripMargin)
+        s.sql(
+          """WITH k AS (
+            |  SELECT g AS lang, CAST(SUM(hv) AS BIGINT) AS k_sum,
+            |         CAST(COUNT(*) AS BIGINT) AS k_n
+            |  FROM graft_kmv_distinct('docs_keyed', 'lang', 'hv', 4)
+            |  GROUP BY g),
+            |e AS (
+            |  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+            |         CAST(SUM(n_copies) AS BIGINT) AS n_docs
+            |  FROM graft_exact_dedup('docs_keyed', 'doc_id', 'content_hash'))
+            |SELECT k.lang, k.k_sum, k.k_n, e.n_groups, e.n_docs
+            |FROM k CROSS JOIN e ORDER BY k.lang""".stripMargin)
+      },
+      Some("""WITH h AS (
+             |  SELECT DISTINCT lang,
+             |    (doc_id * 2654435761) % 1000000007 AS hv
+             |  FROM documents),
+             |r AS (
+             |  SELECT lang, hv,
+             |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv) AS rn
+             |  FROM h),
+             |k AS (
+             |  SELECT lang, CAST(SUM(hv) AS BIGINT) AS k_sum,
+             |         CAST(COUNT(*) AS BIGINT) AS k_n
+             |  FROM r WHERE rn <= 4 GROUP BY lang),
+             |e AS (
+             |  SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_groups,
+             |         CAST(COUNT(*) AS BIGINT) AS n_docs
+             |  FROM documents)
+             |SELECT k.lang, k.k_sum, k.k_n, e.n_groups, e.n_docs
+             |FROM k CROSS JOIN e ORDER BY k.lang""".stripMargin)),
+
     // Unpivot (melt): wide money columns -> long (measure, amount)
     // rows, re-aggregated. Spark's Expand node emits the 3 rows per
     // input without materializing a union of scans — one pass, one

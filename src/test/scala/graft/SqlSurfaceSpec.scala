@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BudgetSelect, Dedup, Kmv, Packing}
+import graft.plans.GraftExtensions
+
+/** The operator-level SQL surface (r14 verdict task #6): every
+  * registered table function must return EXACTLY what the Scala entry
+  * point returns — same rows, same schema — because the function
+  * expands into the operator's own logical plan. Seven operators run
+  * purely through `spark.sql`; q119 oracles the path end-to-end
+  * against DuckDB.
+  */
+class SqlSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.register(spark)
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),
+    (3L, "the quick brown fox jumps over a sleepy dog"),
+    (4L, "pack my box with five dozen liquor jugs"),
+    (5L, "pack my box with five dozen liquor jugs today"),
+    (6L, "entirely different content lives here"))
+    .toDF("doc_id", "text")
+  docs.createOrReplaceTempView("sql_docs")
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def sameAs(sql: String, direct: DataFrame): Unit = {
+    val viaSql = spark.sql(sql)
+    assert(viaSql.schema == direct.schema,
+      s"schema drift: ${viaSql.schema} vs ${direct.schema}")
+    assert(rows(viaSql) == rows(direct))
+  }
+
+  test("graft_exact_dedup == Dedup.exact") {
+    spark.sql("""CREATE OR REPLACE TEMP VIEW sql_keyed AS
+                 SELECT doc_id, md5(text) AS content_hash FROM sql_docs""")
+    sameAs(
+      "SELECT * FROM graft_exact_dedup('sql_keyed', 'doc_id', 'content_hash')",
+      Dedup.exact(spark.table("sql_keyed"), $"doc_id", $"content_hash"))
+  }
+
+  test("graft_minhash_signatures == Dedup.minhashSignatures") {
+    sameAs(
+      "SELECT * FROM graft_minhash_signatures('sql_docs', 'doc_id', 'text', 6)",
+      Dedup.minhashSignatures(docs, $"doc_id", $"text", 6))
+  }
+
+  test("graft_lsh_pairs == Dedup.minhashCandidates") {
+    sameAs(
+      "SELECT * FROM graft_lsh_pairs('sql_docs', 'doc_id', 'text', 8, 4)",
+      Dedup.minhashCandidates(docs, $"doc_id", $"text", 8, 4))
+    // and the exact-duplicate pair must actually surface via pure SQL
+    val hit = spark.sql(
+      """SELECT n_shared_bands FROM
+        |  graft_lsh_pairs('sql_docs', 'doc_id', 'text', 8, 4)
+        |WHERE doc_a = 1 AND doc_b = 2""".stripMargin)
+      .as[Long].collect()
+    assert(hit.sameElements(Array(4L)))
+  }
+
+  test("graft_containment_pairs == Dedup.containmentPairs") {
+    sameAs(
+      "SELECT * FROM graft_containment_pairs('sql_docs', 'doc_id', 'text', 0.9D)",
+      Dedup.containmentPairs(docs, $"doc_id", $"text", 0.9))
+    // bare decimal literal works here too (doubleLit Decimal arm)
+    sameAs(
+      "SELECT * FROM graft_containment_pairs('sql_docs', 'doc_id', 'text', 0.9)",
+      Dedup.containmentPairs(docs, $"doc_id", $"text", 0.9))
+  }
+
+  test("graft_budget_select == BudgetSelect.selectByTokenBudget") {
+    spark.sql("""CREATE OR REPLACE TEMP VIEW sql_scored AS
+                 SELECT doc_id,
+                        size(split(trim(text), '\\s+')) AS n_tok,
+                        1.0 / (1 + doc_id % 3) AS score
+                 FROM sql_docs""")
+    sameAs(
+      """SELECT * FROM
+        |  graft_budget_select('sql_scored', 'score', 'n_tok', 'doc_id', 20)""".stripMargin,
+      BudgetSelect.selectByTokenBudget(
+        spark.table("sql_scored"), $"score", $"n_tok", $"doc_id", 20L))
+  }
+
+  test("graft_pack_sequences == Packing.packByTokenBudget") {
+    sameAs(
+      """SELECT * FROM
+        |  graft_pack_sequences('sql_scored', 'doc_id', 'n_tok', 16)""".stripMargin,
+      Packing.packByTokenBudget(
+        spark.table("sql_scored"), $"doc_id", $"n_tok", 16))
+  }
+
+  test("graft_kmv_distinct == Kmv.kSmallestDistinctByGroup") {
+    spark.sql("""CREATE OR REPLACE TEMP VIEW sql_hv AS
+                 SELECT doc_id, doc_id % 2 AS grp,
+                        (doc_id * 37) % 11 AS hv FROM sql_docs""")
+    sameAs(
+      "SELECT * FROM graft_kmv_distinct('sql_hv', 'grp', 'hv', 2)",
+      Kmv.kSmallestDistinctByGroup(spark.table("sql_hv"), $"grp", $"hv", 2))
+  }
+
+  test("table functions compose inside larger SQL (join, agg, CTE)") {
+    val composed = spark.sql(
+      """WITH pairs AS (
+        |  SELECT * FROM graft_lsh_pairs('sql_docs', 'doc_id', 'text', 8, 4)),
+        |dups AS (
+        |  SELECT * FROM graft_exact_dedup('sql_keyed', 'doc_id', 'content_hash'))
+        |SELECT (SELECT COUNT(*) FROM pairs) AS n_pairs,
+        |       (SELECT CAST(SUM(n_copies) AS BIGINT) FROM dups) AS n_docs""".stripMargin)
+      .as[(Long, Long)].head()
+    assert(composed._2 == 6L)
+    assert(composed._1 >= 1L)
+  }
+
+  test("bad arguments fail analysis loudly, naming the function") {
+    val wrongArity = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft_exact_dedup('sql_keyed')").collect()
+    }
+    assert(wrongArity.getMessage.contains("graft_exact_dedup"))
+    val badView = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT * FROM graft_exact_dedup('no_such_view', 'a', 'b')").collect()
+    }
+    assert(badView.getMessage.toLowerCase.contains("no_such_view"))
+    val nonLiteral = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT * FROM graft_kmv_distinct('sql_hv', 'grp', 'hv', rand())")
+        .collect()
+    }
+    assert(nonLiteral.getMessage.contains("graft_kmv_distinct") ||
+      nonLiteral.getMessage.toLowerCase.contains("foldable"))
+  }
+}

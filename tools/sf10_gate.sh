@@ -4,12 +4,16 @@
 # checks where it cannot — see oracle_check.py ORACLE_TIMEOUT_S) on the
 # 100x data point, writing the driver-shaped artifact.
 #
-# q45_jaccard_pairs and q57_near_dup_blocked are EXCLUDED here by
-# design, not omission: their sf10 result sets are 4.6 B and 1.25 B
-# rows (PLANS.md "sf10 point"), so a Verify parquet dump would measure
-# the write path, not the operator, and flirt with the disk budget.
-# Their sf10 evidence is the ScaleKnobs pair-count/time dials plus the
-# BENCH_DETAIL_sf10.json count()-only timings, both committed.
+# q57_near_dup_blocked is EXCLUDED from the oracled dump by design,
+# not omission: even with the round-15 size-derived dial its sf10
+# result is ~500 M rows (PLANS.md "Round 15"), so a Verify parquet
+# dump would measure the write path, not the operator. Its sf10
+# evidence is graft.ScaleProps (distributed property laws + sampled
+# exact re-score, run below -> PROPS_sf10_r{N}.json) plus the
+# ScaleKnobs dial trajectory and BENCH_DETAIL_sf10.json timings.
+# q45's auto-dial result (~44 M rows) is back IN the oracled family;
+# it is also property-gated alongside q57 for the laws the hash
+# can't see at this volume.
 #
 #   tools/sf10_gate.sh <roundN>
 #
@@ -23,10 +27,20 @@ FAMILY+="q56_regional_revenue,q80_sql_api,q96_recursive_cte,"
 FAMILY+="q103_dedup_components_star,q105_seq_pack,q106_det_shard,"
 FAMILY+="q107_mixture_resample,q108_source_pctl_filter,"
 FAMILY+="q109_incremental_dedup,q110_shard_readback,"
-FAMILY+="q114_budget_select,q117_kmv_merge,q118_rolling_dedup"
+FAMILY+="q114_budget_select,q117_kmv_merge,q118_rolling_dedup,"
+# round 15 breadth: the families that previously only had sf1 hashes
+FAMILY+="q40_dedup_exact,q41_dedup_fingerprint,q42_minhash_signatures,"
+FAMILY+="q44_simhash,q45_jaccard_pairs,q46_range_join_bucketed,"
+FAMILY+="q76_kmv_distinct,q77_heavy_hitters,q78_chunk_dedup,"
+FAMILY+="q83_decontam,q84_unigram_lm,q85_doc_length_hist,"
+FAMILY+="q99_cooccurrence,q104_approx_distinct_gate"
 OUT=/tmp/verify_sf10
 SPARK_GRAFT_VERIFY_ONLY="$FAMILY" SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Verify testdata/sf10 $OUT" >/dev/null
 ORACLE_TIMEOUT_S="${ORACLE_TIMEOUT_S:-300}" \
   python3 tools/oracle_check.py testdata/sf10 "$OUT" \
   "CORRECTNESS_sf10_r${ROUND}.json"
+# property gate for the pair miners whose result sets outgrow the
+# hash compare (q57; q45 doubly covered)
+SPARK_GRAFT_CPUS=32 sbt -batch \
+  "runMain graft.ScaleProps testdata/sf10 PROPS_sf10_r${ROUND}.json"
