@@ -297,6 +297,97 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("outer interval join recovers join state across kill/restart " +
+      "and matches the batch plan") {
+    // r14 verdict task #7: the q118 treatment for the stream-stream
+    // OUTER interval join. A file-checkpointed two-source query is
+    // stopped cold while a left row sits UNMATCHED in the join state
+    // (its window not yet past the watermark), then a NEW query
+    // resumes: (i) a right event arriving after the restart must
+    // still match that buffered left row — proves join-state
+    // recovery, not just offsets; (ii) a forever-unmatched left must
+    // null-pad exactly once, after restart; (iii) the final output
+    // equals the SAME plan run in batch, truncated to rows the final
+    // watermark made final.
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_ijo_recovery")
+    val clickDir = root.resolve("clicks"); Files.createDirectories(clickDir)
+    val purchDir = root.resolve("purchases"); Files.createDirectories(purchDir)
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    val sch = "event_id LONG, ts STRING, user_id LONG, " +
+      "event_type STRING, value DOUBLE"
+    def addFile(dir: java.nio.file.Path, name: String,
+                rows: Seq[(Long, String, Long)]): Unit = {
+      val lines = rows.map { case (id, t, u) =>
+        s"""{"event_id":$id,"ts":"2024-01-01 $t:00","user_id":$u,""" +
+          s""""event_type":"x","value":1.0}"""
+      }.mkString("\n")
+      Files.write(dir.resolve(name), lines.getBytes("UTF-8"))
+    }
+    def shape(df: org.apache.spark.sql.DataFrame, ts: String, id: String) =
+      df.selectExpr("user_id", s"ts AS $ts", s"event_id AS $id")
+    def joined(clicks: org.apache.spark.sql.DataFrame,
+               purchases: org.apache.spark.sql.DataFrame) =
+      EventStreams.intervalJoinOuter(
+        shape(clicks, "c_ts", "c_id"), shape(purchases, "p_ts", "p_id"),
+        "c_ts", "p_ts", "c_id", "p_id",
+        withinMinutes = 30, watermark = "10 minutes")
+    def startQuery() = joined(
+        spark.readStream.schema(sch).json(clickDir.toString),
+        spark.readStream.schema(sch).json(purchDir.toString))
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).start()
+
+    // phase 1: c1 matches immediately; c2 stays BUFFERED (no
+    // watermark advance, so its window is still open at kill time)
+    addFile(clickDir, "c1.json", Seq((1L, "10:00", 1L), (2L, "10:05", 2L)))
+    addFile(purchDir, "p1.json", Seq((10L, "10:20", 1L)))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // cold stop with c2 unmatched in the join state
+
+    // phase 2 (new query object): pr11 lands inside c2's window —
+    // must match the RESTORED left state; c3 never matches; advancer
+    // rows on BOTH sides push the global watermark past every
+    // real window so c3 null-pads and everything finalizes
+    addFile(clickDir, "c2.json",
+      Seq((3L, "10:07", 3L), (98L, "13:00", 98L)))
+    addFile(purchDir, "p2.json",
+      Seq((11L, "10:15", 2L), (99L, "13:00", 99L)))
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val streamed = spark.read.parquet(outDir)
+        .select($"c_id", $"p_id").as[(Long, Option[Long])]
+        .collect().toSeq
+      // exactly-once: no row emitted twice across the kill
+      assert(streamed.size == streamed.distinct.size,
+        s"duplicates across restart: $streamed")
+      // the buffered-at-kill left matched a post-restart right
+      assert(streamed.contains((2L, Some(11L))), streamed.toString)
+      // batch oracle: same plan, static inputs, truncated to rows the
+      // final watermark (12:50) finalized — the 13:00 advancer click
+      // is the only left not yet final
+      val clicksB = spark.read.schema(sch).json(clickDir.toString)
+      val purchB = spark.read.schema(sch).json(purchDir.toString)
+      val batch = joined(clicksB, purchB)
+        .filter($"c_ts" <= lit("2024-01-01 12:50:00").cast("timestamp"))
+        .select($"c_id", $"p_id").as[(Long, Option[Long])]
+        .collect().toSet
+      assert(streamed.toSet == batch,
+        s"streamed=${streamed.toSet}\nbatch=$batch")
+      // and the never-matched click null-padded exactly once
+      assert(streamed.count(_ == ((3L, None))) == 1)
+    } finally {
+      q2.stop()
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("checkpointed query recovers exactly-once after a kill/restart") {
     // The production-ingest property the other cases don't cover: a
     // file-checkpointed query is stopped cold mid-stream and a NEW
