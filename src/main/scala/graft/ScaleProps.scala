@@ -43,7 +43,7 @@ object ScaleProps {
                    aCol: String, bCol: String, threshold: Double,
                    meta: DataFrame, // (id, block) one row per doc
                    exact: DataFrame => DataFrame // sample -> re-scored
-                  ): (String, Map[String, Any]) = {
+                  ): (String, Seq[(String, Any)]) = {
       val p = pairs.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val agg = p.agg(
         count(lit(1)).as("n"),
@@ -70,7 +70,10 @@ object ScaleProps {
         .filter(abs(col(scoreCol) - col("__rescore")) > 1e-9)
         .limit(1).count() == 0L
       p.unpersist()
-      val all = Map[String, Any](
+      // ordered Seq, not Map: >4-entry Scala HashMaps iterate in
+      // unspecified order, which would make the committed JSON field
+      // order (and artifact diffs) vary across runs/Scala versions
+      val all = Seq[(String, Any)](
         "pairs" -> n, "sampled" -> sampleN,
         "soundness" -> sound, "orientation" -> oriented,
         "uniqueness" -> dups, "co_blocking" -> coblocked,

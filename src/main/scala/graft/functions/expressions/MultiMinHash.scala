@@ -366,4 +366,13 @@ object CustomExpressions {
                                          t: Double): Column =
     toColumn(SortedIntersectAtLeastFracLeftLong(
       toExpression(a), toExpression(b), t))
+
+  /** Column wrapper: k-bounded top-k aggregate over (score, id) —
+    * evaluates to array<struct<score,id>> best-first. Map-side partial
+    * aggregation bounds the shuffle at k entries per group per
+    * partition (see [[BoundedTopK]]).
+    */
+  def boundedTopK(score: Column, id: Column, k: Int): Column =
+    toColumn(BoundedTopK(toExpression(score), toExpression(id), k)
+      .toAggregateExpression())
 }

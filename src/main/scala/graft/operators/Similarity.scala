@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
+import graft.functions.expressions.CustomExpressions.boundedTopK
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -287,5 +288,77 @@ object Similarity {
       .select(least(col("a.vid"), col("b.vid")).as("id_a"),
               greatest(col("a.vid"), col("b.vid")).as("id_b"),
               col("cos"))
+  }
+
+  /** CAPPED-output near-neighbor mining: each doc's top-`k` neighbors
+    * (by exact cosine, floor `threshold`) among its sign-bucket
+    * co-residents — the variant of [[cosinePairsBlocked]] a corpus-
+    * scale user actually runs. The full qualifying-pair set is
+    * Θ(Σ bucket²·density) and grows superlinearly on a clustered
+    * corpus (q57 at sf10: 498 M pairs — pure output volume); this
+    * caps the OUTPUT at Θ(n·k) and, critically, caps the SHUFFLE too:
+    * the per-doc ranking is the [[graft.functions.expressions.BoundedTopK]]
+    * aggregate, whose map-side partial buffers bound the exchange at
+    * k entries per doc per partition — a `row_number` window would
+    * shuffle every qualifying directed pair instead.
+    *
+    * Each unordered in-bucket pair is scored ONCE (triangle-salted
+    * i<j join, the [[TrianglePairs]] skew treatment), then both
+    * directions enter the ranking. Docs with no qualifying neighbor
+    * emit nothing. Deterministic: cosines round to `roundTo` before
+    * ranking and ties break by neighbor id, so the kept set is a
+    * total-order prefix any engine reproduces.
+    */
+  def cosineTopKBlocked(df: DataFrame, id: String, vec: String,
+                        k: Int, threshold: Double, nbits: Int,
+                        roundTo: Int = 9, chunks: Int = 16): DataFrame = {
+    val rows = df.select(col(id).as("vid"), col(vec).as("v"),
+      signBucket(col(vec), nbits).as("bucket"), l2Norm(col(vec)).as("nrm"))
+    val (a, b, keyCond) =
+      TrianglePairs.salted(rows, "vid", Seq("bucket"), chunks)
+    val scored = a.join(b, keyCond &&
+        TrianglePairs.orderedOnce(col("a.vid"), col("b.vid")))
+      .withColumn("cos",
+        round(dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm")), roundTo))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vid").as("xa"), col("b.vid").as("xb"), col("cos"))
+    // both directions in ONE pass: a union of two selects over `scored`
+    // would re-run the whole pair join per branch (two scans, two
+    // joins — verified in the physical plan); a 2-element explode emits
+    // (a→b, b→a) from the single scored row inside the same stage
+    val directed = scored
+      .select(explode(array(
+        struct(col("xa").as("doc_id"), col("xb").as("neighbor_id"),
+          col("cos")),
+        struct(col("xb").as("doc_id"), col("xa").as("neighbor_id"),
+          col("cos")))).as("d"))
+      .select(col("d.doc_id").as("doc_id"),
+        col("d.neighbor_id").as("neighbor_id"), col("d.cos").as("cos"))
+    directed.groupBy(col("doc_id"))
+      .agg(boundedTopK(col("cos"), col("neighbor_id"), k).as("tk"))
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("p", "e")))
+      .select(col("doc_id"), col("e.id").as("neighbor_id"),
+        col("e.score").as("cos"), (col("p") + 1).cast("int").as("rank"))
+  }
+
+  /** Blocked near-dup pairs fed STRAIGHT into connected components:
+    * the dedup-decision composition whose output is Θ(n) labels — the
+    * other capped form of [[cosinePairsBlocked]] (a 100 TB curation
+    * run wants "which docs are duplicates of what", not the 498 M-row
+    * pair list). The scored pair table is never materialized: only
+    * the skinny (id_a, id_b) long pairs flow into star-contraction CC
+    * ([[Dedup.connectedComponentsStar]] — O(log n) rounds regardless
+    * of component diameter), which canonicalizes + dedups them as its
+    * own first step. Returns (v, component) per input doc; component
+    * = min reachable id, the same canonical fixpoint q47/q103 gate.
+    */
+  def nearDupComponents(df: DataFrame, id: String, vec: String,
+                        threshold: Double, nbits: Int,
+                        roundTo: Int = 9, chunks: Int = 16): DataFrame = {
+    val pairs = cosinePairsBlocked(df, id, vec, threshold, nbits,
+      roundTo, chunks).select(col("id_a"), col("id_b"))
+    Dedup.connectedComponentsStar(df.select(col(id)), col(id),
+      pairs, col("id_a"), col("id_b"))
   }
 }

@@ -57,8 +57,9 @@ object GraftExtensions {
       throw graftbridge.nonFoldableArgumentError(fn, param, IntegerType)
     e.eval(null) match {
       case n: Number => n.intValue()
-      case _ =>
-        throw graftbridge.nonFoldableArgumentError(fn, param, IntegerType)
+      case _ => // foldable but mistyped: name the expected type
+        throw graftbridge.unexpectedInputTypeError(fn, idx + 1,
+          IntegerType, e)
     }
   }
 
@@ -76,9 +77,9 @@ object GraftExtensions {
       // arm a perfectly foldable literal would fail analysis with the
       // misleading non-foldable error
       case d: org.apache.spark.sql.types.Decimal => d.toDouble
-      case _ =>
-        throw graftbridge.nonFoldableArgumentError(fn, param,
-          org.apache.spark.sql.types.DoubleType)
+      case _ => // foldable but mistyped: name the expected type
+        throw graftbridge.unexpectedInputTypeError(fn, idx + 1,
+          org.apache.spark.sql.types.DoubleType, e)
     }
   }
 
@@ -159,9 +160,9 @@ object GraftExtensions {
     e.eval(null) match {
       case s: org.apache.spark.unsafe.types.UTF8String => s.toString
       case s: String => s
-      case _ =>
-        throw graftbridge.nonFoldableArgumentError(fn, param,
-          org.apache.spark.sql.types.StringType)
+      case _ => // foldable but mistyped: name the expected type
+        throw graftbridge.unexpectedInputTypeError(fn, idx + 1,
+          org.apache.spark.sql.types.StringType, e)
     }
   }
 
@@ -174,9 +175,9 @@ object GraftExtensions {
     e.eval(null) match {
       case n: Number => n.longValue()
       case d: org.apache.spark.sql.types.Decimal => d.toLong
-      case _ =>
-        throw graftbridge.nonFoldableArgumentError(fn, param,
-          org.apache.spark.sql.types.LongType)
+      case _ => // foldable but mistyped: name the expected type
+        throw graftbridge.unexpectedInputTypeError(fn, idx + 1,
+          org.apache.spark.sql.types.LongType, e)
     }
   }
 

@@ -285,6 +285,90 @@ object SimilarityQueries extends Catalog {
              |    i -> (deq[i] - v[i]) * (deq[i] - v[i])))), 6) AS recon_err
              |FROM dq ORDER BY vec_id""".stripMargin)),
 
+    // CAPPED near-neighbor mining: q57's blocked candidates, output
+    // capped at top-k per doc (Θ(n·k), not Θ(pairs)) — the form a
+    // 100 TB curation user runs. The BoundedTopK aggregate bounds the
+    // ranking SHUFFLE at k entries/doc/partition (a window would
+    // shuffle every qualifying directed pair). Same auto-dial params
+    // CTE as q57, so the hash gate covers the dial derivation too.
+    Q("q120_cosine_topk",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val nb = BlockDials.signBits(e.count())
+        Similarity.cosineTopKBlocked(e, "vec_id", "embedding",
+            k = K, threshold = 0.45, nbits = nb)
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some(s"""WITH params AS (
+              |  SELECT LEAST(16, GREATEST(1, LENGTH(BIN(
+              |    CAST(CEIL(COUNT(*) / 750.0) AS BIGINT) - 1)))) AS nb
+              |  FROM embeddings),
+              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+              |  CAST(list_sum(list_transform(range(0, nb), j ->
+              |    CASE WHEN embedding[j + 1] > 0
+              |    THEN (1::BIGINT << j) ELSE 0 END)) AS INT) AS bucket
+              |  FROM embeddings CROSS JOIN params),
+              |qual AS (
+              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |    ROUND(${duckCos("a.v", "b.v")}, 9) AS cos
+              |  FROM e a JOIN e b
+              |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |  WHERE ROUND(${duckCos("a.v", "b.v")}, 9) >= 0.45),
+              |directed AS (
+              |  SELECT id_a AS doc_id, id_b AS neighbor_id, cos FROM qual
+              |  UNION ALL
+              |  SELECT id_b, id_a, cos FROM qual),
+              |ranked AS (
+              |  SELECT doc_id, neighbor_id, cos,
+              |    CAST(row_number() OVER (PARTITION BY doc_id
+              |      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+              |  FROM directed)
+              |SELECT doc_id, neighbor_id, cos, rank FROM ranked
+              |WHERE rank <= $K ORDER BY doc_id, rank""".stripMargin)),
+
+    // The other capped form: blocked pairs fed straight into star-
+    // contraction connected components — Θ(n) labels out, the scored
+    // pair table never materialized. Same canonical min-reachable-id
+    // fixpoint as q47/q103, so the recursive-CTE oracle gates it.
+    Q("q121_near_dup_components",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val nb = BlockDials.signBits(e.count())
+        Similarity.nearDupComponents(e, "vec_id", "embedding",
+            threshold = 0.45, nbits = nb)
+          .select(col("v").as("vec_id"), col("component"),
+            (col("v") === col("component")).as("survivor"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH RECURSIVE params AS (
+              |  SELECT LEAST(16, GREATEST(1, LENGTH(BIN(
+              |    CAST(CEIL(COUNT(*) / 750.0) AS BIGINT) - 1)))) AS nb
+              |  FROM embeddings),
+              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+              |  CAST(list_sum(list_transform(range(0, nb), j ->
+              |    CASE WHEN embedding[j + 1] > 0
+              |    THEN (1::BIGINT << j) ELSE 0 END)) AS INT) AS bucket
+              |  FROM embeddings CROSS JOIN params),
+              |qual AS (
+              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              |  FROM e a JOIN e b
+              |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |  WHERE ROUND(${duckCos("a.v", "b.v")}, 9) >= 0.45),
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM qual
+              |  UNION
+              |  SELECT id_b, id_a FROM qual),
+              |walk(v, l) AS (
+              |  SELECT vec_id, vec_id FROM embeddings
+              |  UNION
+              |  SELECT e2.dst, w.l FROM walk w JOIN edges e2 ON e2.src = w.v)
+              |SELECT v AS vec_id, MIN(l) AS component,
+              |  (v = MIN(l)) AS survivor
+              |FROM walk GROUP BY v ORDER BY vec_id""".stripMargin),
+      bench = false), // iterative fixpoint (like q47/q103): rounds ×
+                      // job-launch floor is scheduling noise at bench
+                      // scale; its scale evidence is the sf10 gate
+
     Q("q53_vector_stats",
       (s, dir) => Tables.load(s, dir, "embeddings")
         .select(

@@ -28,4 +28,15 @@ package object graftbridge {
   def nonFoldableArgumentError(fn: String, param: String,
                                tpe: types.DataType): Throwable =
     errors.QueryCompilationErrors.nonFoldableArgumentError(fn, param, tpe)
+
+  /** A foldable argument of the WRONG type (e.g. `graft_exact_dedup(42,
+    * …)` where a view-name string is required) gets the type-mismatch
+    * error naming the expected type — not the misleading "non-foldable"
+    * message, which described a property the argument actually has.
+    */
+  def unexpectedInputTypeError(fn: String, paramIndex: Int,
+                               expected: types.DataType,
+                               e: Expression): Throwable =
+    errors.QueryCompilationErrors.unexpectedInputDataTypeError(
+      fn, paramIndex, expected, e)
 }

@@ -283,4 +283,33 @@ class CustomExpressionsSpec extends SparkSpec {
     }
     assert(pairs.exists(r => r.getInt(1) == -1), "early exit never fired")
   }
+
+  test("BoundedTopK == row_number window prefix, incl. ties/short groups/nulls") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    // groups of wildly different sizes, duplicate scores (tie-break by
+    // id), one group smaller than k, and some null scores/ids to skip
+    val rows = (0 until 500).map { i =>
+      val g = rnd.nextInt(8).toLong
+      val score: java.lang.Double =
+        if (i % 97 == 0) null else rnd.nextInt(20) / 10.0
+      val id: java.lang.Long = if (i % 101 == 0) null else i.toLong
+      (g, score, id)
+    } :+ ((9L, java.lang.Double.valueOf(1.0), java.lang.Long.valueOf(9999L)))
+    val df = rows.toDF("g", "score", "id").repartition(13) // force merges
+    val k = 5
+    val viaAgg = df.groupBy($"g")
+      .agg(boundedTopK($"score", $"id", k).as("tk"))
+      .select($"g", posexplode($"tk").as(Seq("p", "e")))
+      .select($"g", $"e.score".as("score"), $"e.id".as("id"),
+        ($"p" + 1).cast("int").as("rank"))
+    val w = Window.partitionBy($"g").orderBy($"score".desc, $"id".asc)
+    val viaWindow = df.filter($"score".isNotNull && $"id".isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"g", $"score", $"id", $"rank")
+    assert(viaAgg.collect().toSet == viaWindow.collect().toSet)
+    // the one-row group surfaces with rank 1 (short groups keep all)
+    assert(viaAgg.filter($"g" === 9L).count() == 1L)
+  }
 }

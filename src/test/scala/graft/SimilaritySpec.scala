@@ -94,4 +94,43 @@ class SimilaritySpec extends SparkSpec {
       assert(rs.sorted == (1 to rs.length))
     }
   }
+
+  test("cosineTopKBlocked == per-doc window prefix of the blocked pair set") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(spark, dir, "embeddings")
+    val (k, t, nbits) = (3, 0.3, 2)
+    val capped = Similarity.cosineTopKBlocked(
+      e, "vec_id", "embedding", k, t, nbits)
+    // reference form: full blocked pair set, symmetrized, ranked by a
+    // window — the shape the aggregate replaces
+    val pairs = Similarity.cosinePairsBlocked(e, "vec_id", "embedding",
+      t, nbits)
+    val directed = pairs
+      .select($"id_a".as("doc_id"), $"id_b".as("neighbor_id"), $"cos")
+      .union(pairs
+        .select($"id_b".as("doc_id"), $"id_a".as("neighbor_id"), $"cos"))
+    val w = Window.partitionBy($"doc_id").orderBy($"cos".desc, $"neighbor_id")
+    val viaWindow = directed.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"doc_id", $"neighbor_id", $"cos", $"rank".cast("int"))
+    assert(capped.collect().toSet == viaWindow.collect().toSet)
+    assert(capped.count() > 0)
+    // output is capped: never more than k rows per doc
+    val overCap = capped.groupBy($"doc_id").count().filter($"count" > k)
+    assert(overCap.isEmpty)
+  }
+
+  test("nearDupComponents == min-label CC over the blocked pair set") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val (t, nbits) = (0.3, 2)
+    val viaCompose = Similarity.nearDupComponents(
+      e, "vec_id", "embedding", t, nbits)
+    val pairs = Similarity.cosinePairsBlocked(e, "vec_id", "embedding",
+      t, nbits)
+    val viaMinLabel = graft.operators.Dedup.connectedComponents(
+      e.select($"vec_id"), $"vec_id", pairs, $"id_a", $"id_b")
+    assert(viaCompose.collect().toSet == viaMinLabel.collect().toSet)
+    // output is Θ(n): exactly one label per input doc
+    assert(viaCompose.count() == e.count())
+  }
 }

@@ -28,6 +28,20 @@ class SqlSurfaceSpec extends SparkSpec {
     .toDF("doc_id", "text")
   docs.createOrReplaceTempView("sql_docs")
 
+  // Derived views live in the suite body, not inside tests: each test
+  // must be runnable alone (testOnly -z) and in any order, so no test
+  // may depend on a view another test happened to create first.
+  spark.sql("""CREATE OR REPLACE TEMP VIEW sql_keyed AS
+               SELECT doc_id, md5(text) AS content_hash FROM sql_docs""")
+  spark.sql("""CREATE OR REPLACE TEMP VIEW sql_scored AS
+               SELECT doc_id,
+                      size(split(trim(text), '\\s+')) AS n_tok,
+                      1.0 / (1 + doc_id % 3) AS score
+               FROM sql_docs""")
+  spark.sql("""CREATE OR REPLACE TEMP VIEW sql_hv AS
+               SELECT doc_id, doc_id % 2 AS grp,
+                      (doc_id * 37) % 11 AS hv FROM sql_docs""")
+
   private def rows(df: DataFrame): Set[String] =
     df.collect().map(_.toString).toSet
 
@@ -39,8 +53,6 @@ class SqlSurfaceSpec extends SparkSpec {
   }
 
   test("graft_exact_dedup == Dedup.exact") {
-    spark.sql("""CREATE OR REPLACE TEMP VIEW sql_keyed AS
-                 SELECT doc_id, md5(text) AS content_hash FROM sql_docs""")
     sameAs(
       "SELECT * FROM graft_exact_dedup('sql_keyed', 'doc_id', 'content_hash')",
       Dedup.exact(spark.table("sql_keyed"), $"doc_id", $"content_hash"))
@@ -76,11 +88,6 @@ class SqlSurfaceSpec extends SparkSpec {
   }
 
   test("graft_budget_select == BudgetSelect.selectByTokenBudget") {
-    spark.sql("""CREATE OR REPLACE TEMP VIEW sql_scored AS
-                 SELECT doc_id,
-                        size(split(trim(text), '\\s+')) AS n_tok,
-                        1.0 / (1 + doc_id % 3) AS score
-                 FROM sql_docs""")
     sameAs(
       """SELECT * FROM
         |  graft_budget_select('sql_scored', 'score', 'n_tok', 'doc_id', 20)""".stripMargin,
@@ -97,9 +104,6 @@ class SqlSurfaceSpec extends SparkSpec {
   }
 
   test("graft_kmv_distinct == Kmv.kSmallestDistinctByGroup") {
-    spark.sql("""CREATE OR REPLACE TEMP VIEW sql_hv AS
-                 SELECT doc_id, doc_id % 2 AS grp,
-                        (doc_id * 37) % 11 AS hv FROM sql_docs""")
     sameAs(
       "SELECT * FROM graft_kmv_distinct('sql_hv', 'grp', 'hv', 2)",
       Kmv.kSmallestDistinctByGroup(spark.table("sql_hv"), $"grp", $"hv", 2))
