@@ -144,7 +144,67 @@ object GraftExtensions {
       arity("sorted_intersect_at_least_frac_left_long", 3)(es =>
         SortedIntersectAtLeastFracLeftLong(es.head, es(1),
           doubleLit("sorted_intersect_at_least_frac_left_long",
-            "threshold", es, 2)))))
+            "threshold", es, 2)))),
+    // ---- size-derived blocking dials as SQL scalars ----------------
+    // The auto-dial flow q45/q57 use is two steps: (1) one stats agg,
+    // (2) the blocked operator with the derived dial. The table
+    // functions can't run step (1) themselves (a function expansion
+    // inside analysis must not launch a driver action), but the dial
+    // ARITHMETIC is a pure scalar — exposing it lets a pure-SQL user
+    // run the identical flow:
+    //   SELECT graft_length_bucket_width(COUNT(*), MAX(n_chars)) ...
+    // then pass the result as the literal dial of graft_jaccard_pairs.
+    // Both expand to compositions of built-in expressions replicating
+    // BlockDials' integer formulas exactly (cross-checked per value in
+    // SqlSurfaceSpec), so they fold, codegen, and run on columns too.
+    ("graft_length_bucket_width",
+      tfInfo("graft_length_bucket_width"),
+      arity("graft_length_bucket_width", 2)(es =>
+        dialLengthBucketWidth(es.head, es(1)))),
+    ("graft_sign_bits",
+      tfInfo("graft_sign_bits"),
+      arity("graft_sign_bits", 1)(es => dialSignBits(es.head))))
+
+  /** [[graft.operators.BlockDials.lengthBucketWidth]] as a composed
+    * built-in expression (docsPerBlock fixed at the dial's default
+    * 1250): `n == 0 -> max(1, mx+1)`, else
+    * `max(1, ceil((mx+1) / ceil(n/1250.0)))`. Both `ceil`s are the
+    * same one-correctly-rounded-double-division-then-ceil the Scala
+    * dial uses, so the values are bit-identical.
+    */
+  private def dialLengthBucketWidth(nE: Expression,
+                                    mxE: Expression): Expression = {
+    // raw Catalyst nodes, not Column arithmetic: a Column built inside
+    // a function builder round-trips through ColumnNodeExpression,
+    // which the analyzer never lowers (codegen INTERNAL_ERROR)
+    import org.apache.spark.sql.catalyst.expressions.{Add, CaseWhen, Cast, Ceil, Divide, EqualTo, Greatest, Literal}
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val n = Cast(nE, LongType)
+    val mx = Cast(mxE, LongType)
+    val k = Ceil(Divide(Cast(n, DoubleType), Literal(1250.0)))
+    val w = Greatest(Seq(Literal(1L),
+      Ceil(Divide(Cast(Add(mx, Literal(1L)), DoubleType),
+        Cast(k, DoubleType)))))
+    val zeroCase = Greatest(Seq(Literal(1L), Add(mx, Literal(1L))))
+    Cast(CaseWhen(Seq((EqualTo(n, Literal(0L)), zeroCase)), Some(w)),
+      IntegerType)
+  }
+
+  /** [[graft.operators.BlockDials.signBits]] as a composed built-in
+    * expression (targetOccupancy 750, maxBits 16): the bit length of
+    * `max(1, ceil(n/750.0)) - 1` via LENGTH(BIN(k-1)) — the same
+    * no-floating-log2 form the DuckDB oracles use — clamped to
+    * [1, 16].
+    */
+  private def dialSignBits(nE: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Bin, Cast, Ceil, Divide, Greatest, Least, Length, Literal, Subtract}
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val n = Cast(nE, LongType)
+    val k = Greatest(Seq(
+      Ceil(Divide(Cast(n, DoubleType), Literal(750.0))), Literal(1L)))
+    val bits = Length(Bin(Subtract(k, Literal(1L))))
+    Least(Seq(Literal(16), Greatest(Seq(Literal(1), bits))))
+  }
 
   // ---- whole-operator TABLE functions -------------------------------
 
@@ -262,7 +322,44 @@ object GraftExtensions {
             activeTable(strLit("graft_kmv_distinct", "view", es, 0)),
             col(strLit("graft_kmv_distinct", "groupCol", es, 1)),
             col(strLit("graft_kmv_distinct", "hvCol", es, 2)),
-            intLit("graft_kmv_distinct", "k", es, 3))))))
+            intLit("graft_kmv_distinct", "k", es, 3))))),
+      // The blocked pair miners with literal dials — the second step
+      // of the pure-SQL auto-dial recipe (first step: the
+      // graft_length_bucket_width / graft_sign_bits scalars over one
+      // stats query). Block scheme of graft_jaccard_pairs is the q45
+      // shape: (language-ish column, floor(length / width)).
+      ("graft_jaccard_pairs", tfInfo("graft_jaccard_pairs"),
+        arityT("graft_jaccard_pairs", 7)(es => {
+          val w = intLit("graft_jaccard_pairs", "width", es, 5)
+          plan(graft.operators.Dedup.jaccardPairs(
+            activeTable(strLit("graft_jaccard_pairs", "view", es, 0)),
+            col(strLit("graft_jaccard_pairs", "idCol", es, 1)),
+            col(strLit("graft_jaccard_pairs", "textCol", es, 2)),
+            blockKeys = Seq(
+              col(strLit("graft_jaccard_pairs", "blockCol", es, 3)),
+              org.apache.spark.sql.functions.floor(
+                col(strLit("graft_jaccard_pairs", "lenCol", es, 4))
+                  / w.toDouble).cast("int")),
+            threshold =
+              doubleLit("graft_jaccard_pairs", "threshold", es, 6)))
+        })),
+      ("graft_cosine_pairs", tfInfo("graft_cosine_pairs"),
+        arityT("graft_cosine_pairs", 5)(es =>
+          plan(graft.operators.Similarity.cosinePairsBlocked(
+            activeTable(strLit("graft_cosine_pairs", "view", es, 0)),
+            strLit("graft_cosine_pairs", "idCol", es, 1),
+            strLit("graft_cosine_pairs", "vecCol", es, 2),
+            doubleLit("graft_cosine_pairs", "threshold", es, 3),
+            intLit("graft_cosine_pairs", "nbits", es, 4))))),
+      ("graft_cosine_topk", tfInfo("graft_cosine_topk"),
+        arityT("graft_cosine_topk", 6)(es =>
+          plan(graft.operators.Similarity.cosineTopKBlocked(
+            activeTable(strLit("graft_cosine_topk", "view", es, 0)),
+            strLit("graft_cosine_topk", "idCol", es, 1),
+            strLit("graft_cosine_topk", "vecCol", es, 2),
+            intLit("graft_cosine_topk", "k", es, 3),
+            doubleLit("graft_cosine_topk", "threshold", es, 4),
+            intLit("graft_cosine_topk", "nbits", es, 5))))))
   }
 
   /** Register into an existing session's temp registries (scalar and

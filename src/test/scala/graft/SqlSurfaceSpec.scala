@@ -122,6 +122,83 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(composed._1 >= 1L)
   }
 
+  test("dial scalars replicate BlockDials bit-for-bit on a value grid") {
+    import graft.operators.BlockDials
+    val grid = Seq((0L, 0L), (1L, 10L), (500L, 999L), (1250L, 1000L),
+      (1251L, 1000L), (100000L, 5000L), (10L, 0L), (750L, 1L),
+      (751L, 1L), (100000000L, 123L))
+    grid.foreach { case (n, mx) =>
+      val row = spark.sql(
+        s"SELECT graft_length_bucket_width(${n}L, ${mx}L) AS w, " +
+          s"graft_sign_bits(${n}L) AS b").head()
+      assert(row.getInt(0) == BlockDials.lengthBucketWidth(n, mx),
+        s"width mismatch at ($n, $mx)")
+      assert(row.getInt(1) == BlockDials.signBits(n),
+        s"bits mismatch at n=$n")
+    }
+  }
+
+  test("pure-SQL auto-dial flow runs q45's two steps end-to-end") {
+    import graft.operators.{BlockDials, Dedup}
+    spark.sql("""CREATE OR REPLACE TEMP VIEW sql_cdocs AS
+                 SELECT doc_id, text, 'en' AS lang,
+                        length(text) AS n_chars FROM sql_docs""")
+    // step 1: the user's one stats query, dial derived IN SQL
+    val w = spark.sql(
+      """SELECT graft_length_bucket_width(COUNT(*), MAX(n_chars))
+        |FROM sql_cdocs""".stripMargin).head().getInt(0)
+    val (n, mx) = BlockDials.countAndMax(
+      spark.table("sql_cdocs"), $"n_chars")
+    assert(w == BlockDials.lengthBucketWidth(n, mx))
+    // step 2: the blocked operator with the derived literal dial
+    val direct = Dedup.jaccardPairs(spark.table("sql_cdocs"),
+      $"doc_id", $"text",
+      blockKeys = Seq($"lang", floor($"n_chars" / w.toDouble).cast("int")),
+      threshold = 0.8)
+    sameAs(
+      s"""SELECT * FROM graft_jaccard_pairs(
+         |  'sql_cdocs', 'doc_id', 'text', 'lang', 'n_chars', $w, 0.8D)"""
+        .stripMargin,
+      direct)
+    // the exact-duplicate doc pair must actually surface via pure SQL
+    val dup = spark.sql(
+      s"""SELECT jaccard FROM graft_jaccard_pairs(
+         |  'sql_cdocs', 'doc_id', 'text', 'lang', 'n_chars', $w, 0.8D)
+         |WHERE doc_a = 1 AND doc_b = 2""".stripMargin)
+      .as[Double].collect()
+    assert(dup.sameElements(Array(1.0)))
+  }
+
+  test("pure-SQL auto-dial flow runs q57's two steps end-to-end") {
+    import graft.operators.{BlockDials, Similarity}
+    Seq(
+      (1L, Array(0.5f, 0.1f, 0.2f)),
+      (2L, Array(0.5f, 0.1f, 0.21f)), // near-dup of 1
+      (3L, Array(-0.4f, 0.3f, 0.0f)),
+      (4L, Array(-0.4f, 0.31f, 0.01f)), // near-dup of 3
+      (5L, Array(0.0f, -0.9f, 0.5f)),
+      (6L, Array(0.9f, 0.9f, -0.9f)))
+      .toDF("vec_id", "vec").createOrReplaceTempView("sql_vecs")
+    val nb = spark.sql("SELECT graft_sign_bits(COUNT(*)) FROM sql_vecs")
+      .head().getInt(0)
+    assert(nb == BlockDials.signBits(6L))
+    sameAs(
+      s"SELECT * FROM graft_cosine_pairs('sql_vecs', 'vec_id', 'vec', 0.9D, $nb)",
+      Similarity.cosinePairsBlocked(
+        spark.table("sql_vecs"), "vec_id", "vec", 0.9, nb))
+    sameAs(
+      s"SELECT * FROM graft_cosine_topk('sql_vecs', 'vec_id', 'vec', 2, 0.0D, $nb)",
+      Similarity.cosineTopKBlocked(
+        spark.table("sql_vecs"), "vec_id", "vec", 2, 0.0, nb))
+    // the near-dup pair surfaces
+    val hit = spark.sql(
+      s"""SELECT COUNT(*) FROM graft_cosine_pairs(
+         |  'sql_vecs', 'vec_id', 'vec', 0.9D, $nb)
+         |WHERE id_a = 1 AND id_b = 2""".stripMargin)
+      .as[Long].head()
+    assert(hit == 1L)
+  }
+
   test("bad arguments fail analysis loudly, naming the function") {
     val wrongArity = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT * FROM graft_exact_dedup('sql_keyed')").collect()
@@ -139,5 +216,15 @@ class SqlSurfaceSpec extends SparkSpec {
     }
     assert(nonLiteral.getMessage.contains("graft_kmv_distinct") ||
       nonLiteral.getMessage.toLowerCase.contains("foldable"))
+    // a foldable literal of the WRONG type gets the type-mismatch
+    // error (naming the expected type), not the misleading
+    // "non-foldable" message
+    val mistyped = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft_exact_dedup(42, 'a', 'b')").collect()
+    }
+    val msg = mistyped.getMessage
+    assert(msg.contains("graft_exact_dedup"))
+    assert(msg.toUpperCase.contains("STRING") &&
+      !msg.toLowerCase.contains("foldable"), msg)
   }
 }
