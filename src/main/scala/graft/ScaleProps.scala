@@ -125,7 +125,62 @@ object ScaleProps {
     val r57 = checkBlock("q57_near_dup_blocked", q57Pairs, "cos",
       "id_a", "id_b", 0.45, q57Meta, q57Exact)
 
-    val results = Seq(r45, r57)
+    // ---- connected-components invariants (q47/q103/q121) ----
+    // The recursive-CTE oracle can't finish at sf10, so these queries
+    // were bare "spark_only" completion anchors; the laws below are
+    // the real gate a correct min-reachable-id labeling must satisfy,
+    // all checked distributed:
+    //  - cross_impl_equal: min-label propagation and star contraction
+    //    (two independent algorithms) produce the IDENTICAL labeling;
+    //  - edge_consistent: every candidate edge's endpoints share a
+    //    component (one more propagation round is a fixpoint);
+    //  - anchored: component(v) <= v, and every label maps to itself
+    //    (the representative is a real vertex labeling itself — which
+    //    also proves label ⊆ id);
+    //  - n_components matches between the implementations.
+    def checkComponents(name: String, vertices: DataFrame, id: String,
+                        pairs: DataFrame, a: String, b: String)
+        : (String, Seq[(String, Any)]) = {
+      val edges = pairs.select(col(a), col(b))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val l1 = Dedup.connectedComponents(
+        vertices.select(col(id)), col(id), edges, col(a), col(b))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val l2 = Dedup.connectedComponentsStar(
+        vertices.select(col(id)), col(id), edges, col(a), col(b))
+      val nV = l1.count()
+      val crossEqual = l1.except(l2).isEmpty && l2.count() == nV
+      val lbl = (side: String) => l1
+        .select(col("v").as(side), col("component").as(s"__c$side"))
+      val edgeConsistent = edges
+        .join(lbl(a), a).join(lbl(b), b)
+        .filter(col(s"__c$a") =!= col(s"__c$b"))
+        .limit(1).count() == 0L
+      val anchored =
+        l1.filter(col("component") > col("v")).limit(1).count() == 0L &&
+        l1.select(col("component").as("m")).distinct()
+          .join(l1, col("m") === col("v"), "left")
+          .filter(col("component").isNull || col("component") =!= col("m"))
+          .limit(1).count() == 0L
+      val nComp = l1.select(col("component")).distinct().count()
+      l1.unpersist(); edges.unpersist()
+      val all = Seq[(String, Any)](
+        "vertices" -> nV, "n_components" -> nComp,
+        "cross_impl_equal" -> crossEqual,
+        "edge_consistent" -> edgeConsistent, "anchored" -> anchored)
+      println(s"[props] $name: $all")
+      (name, all)
+    }
+
+    val lshPairs = Dedup.minhashCandidates(
+      docs, col("doc_id"), col("text"), numHashes = 8, bands = 4)
+    val rCc = checkComponents("q47_q103_components",
+      docs, "doc_id", lshPairs, "doc_a", "doc_b")
+    val rNd = checkComponents("q121_near_dup_components",
+      emb, "vec_id", q57Pairs.select(col("id_a"), col("id_b")),
+      "id_a", "id_b")
+
+    val results = Seq(r45, r57, rCc, rNd)
     val json = results.map { case (name, m) =>
       val fields = m.map {
         case (k, v: Boolean) => s""""$k": $v"""
