@@ -253,6 +253,93 @@ object EventStreams {
       }
   }
 
+  /** Internal ordered-dedup state: last processed event-time (micros,
+    * MinValue = none) plus the events buffered until the watermark
+    * passes them (public: Catalyst instantiates it).
+    */
+  final case class RollingBuf(prev: Long, buf: Seq[Event])
+
+  /** Buffer-until-watermark variant of [[rollingDedup]]: per key,
+    * events are HELD in state until the watermark passes their event
+    * time, then processed in global event-time order — so the
+    * batch-lag equivalence holds under ANY cross-batch arrival
+    * disorder inside the watermark, not just per-key-ordered ingest
+    * (the fast path's documented bound). The price is the cost
+    * profile the fast path deliberately avoids: state is O(events in
+    * flight inside the watermark) per key instead of one long —
+    * bounded by rate × watermark horizon, the same envelope as a
+    * stream-stream join buffer. Keep [[rollingDedup]] as the default
+    * for per-entity-ordered sources (e.g. Kafka partitioned by user);
+    * use this mode when keys genuinely interleave out of order.
+    *
+    * Mechanics: arriving rows join the key's buffer; the prefix with
+    * `ts <= watermark` is flushed in (event-time, event_id) order
+    * through the same previous-occurrence dedup arithmetic
+    * (micros-exact, identical to batch); the rest stays buffered with
+    * an event-time timeout at the earliest held row, so a later
+    * watermark advance flushes it even if the key never receives
+    * another event. Once the buffer drains, state degrades to the
+    * fast path's single `prev` and is evicted (semantics-preserving,
+    * same argument as [[rollingDedup]]) when the watermark passes
+    * `prev + gap`. In batch runs everything is final: one flush,
+    * exactly the batch lag form.
+    */
+  def rollingDedupOrdered(events: Dataset[Event], withinMinutes: Int,
+                          watermark: String = "30 minutes")
+      : Dataset[Event] = {
+    import events.sparkSession.implicits._
+    val gapUs = withinMinutes * 60L * 1000000L
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val streaming = events.isStreaming
+    val withWm =
+      if (streaming) events.withWatermark("ts", watermark)
+      else events
+    withWm.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[RollingBuf, Event](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Long, String), rows: Iterator[Event],
+         state: GroupState[RollingBuf]) =>
+          val st = state.getOption.getOrElse(RollingBuf(Long.MinValue, Nil))
+          val all = st.buf ++ rows
+          val wmMs =
+            if (streaming) state.getCurrentWatermarkMs() else Long.MaxValue
+          // rows the watermark has passed are FINAL: no earlier event
+          // can still arrive (Spark drops sub-watermark input), so
+          // processing them in event-time order is the batch order
+          val (fin, hold) = all.partition(_.ts.getTime <= wmMs)
+          val sorted = fin.sortBy(e => (micros(e.ts), e.event_id))
+          var prev = st.prev
+          val kept = Seq.newBuilder[Event]
+          for (e <- sorted) {
+            val t = micros(e.ts)
+            if (prev == Long.MinValue || t - prev > gapUs) kept += e
+            prev = t
+          }
+          if (hold.nonEmpty) {
+            state.update(RollingBuf(prev, hold))
+            if (streaming) {
+              // wake when the watermark can next finalize something;
+              // must exceed the current watermark, hence the max
+              val minHold = hold.iterator.map(_.ts.getTime).min
+              state.setTimeoutTimestamp(math.max(minHold, wmMs + 1))
+            }
+          } else if (prev != Long.MinValue) {
+            val evictAtMs = prev / 1000L + gapUs / 1000L
+            if (streaming && wmMs >= evictAtMs) {
+              // any future event is > gap from prev: eviction cannot
+              // change a keep/drop decision (fast-path argument)
+              state.remove()
+            } else {
+              state.update(RollingBuf(prev, Nil))
+              if (streaming)
+                state.setTimeoutTimestamp(math.max(evictAtMs, wmMs + 1))
+            }
+          } else state.remove()
+          kept.result().iterator
+      }
+  }
+
   /** Internal funnel state: first-seen epoch-millis per stage event,
     * Long.MaxValue = not seen yet (public: Catalyst instantiates it).
     */

@@ -238,6 +238,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rollingDedupOrdered matches batch under cross-batch event-time disorder") {
+    // the exact shape the fast path's documented bound excludes: a
+    // key's events arrive ACROSS micro-batches out of event-time
+    // order (late but inside the watermark). Ordered mode buffers
+    // until the watermark, so the flush replays batch order.
+    val e = Seq(
+      Event(1, ts(0), 1, "click", 0),   // kept
+      Event(2, ts(5), 1, "click", 0),   // 5 min after prev -> dropped
+      Event(3, ts(11), 1, "click", 0),  // 6 min after prev -> dropped
+      Event(6, ts(25), 1, "click", 0),  // 14 min after prev -> kept
+      Event(5, Timestamp.valueOf("2024-01-01 11:30:00"), 2, "click", 0),
+      Event(9, Timestamp.valueOf("2024-01-01 12:30:00"), 99, "click", 0))
+    // batch runs of both variants agree (everything final, one flush)
+    val batchKept = EventStreams.rollingDedup(e.toDS(), withinMinutes = 10)
+      .collect().map(_.event_id).toSet
+    val orderedBatch = EventStreams.rollingDedupOrdered(e.toDS(), 10)
+      .collect().map(_.event_id).toSet
+    assert(batchKept == Set(1L, 6L, 5L, 9L))
+    assert(orderedBatch == batchKept)
+
+    // streaming with DISORDER: id3 (10:11) arrives before id2 (10:05).
+    // The fast path would mis-decide id2/id3 here; ordered mode must
+    // not. id5 (11:30) pushes the watermark to 11:00, flushing user
+    // 1's chain; id9 (12:30) pushes it to 12:00, flushing id5. id9
+    // itself stays buffered at the end (wm never passes 12:30).
+    val src = MemoryStream[Event](spark)
+    val q = EventStreams.rollingDedupOrdered(
+        src.toDS(), withinMinutes = 10, watermark = "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rdo_out").start()
+    try {
+      src.addData(e(0)); q.processAllAvailable()
+      src.addData(e(2)); q.processAllAvailable() // id3 first…
+      src.addData(e(1)); q.processAllAvailable() // …then earlier id2
+      src.addData(e(3)); q.processAllAvailable()
+      src.addData(e(4)); q.processAllAvailable() // wm -> 11:00
+      src.addData(e(5)); q.processAllAvailable() // wm -> 12:00
+      val got = spark.table("rdo_out").as[Event].collect()
+        .map(_.event_id).toSet
+      val finalWm = Timestamp.valueOf("2024-01-01 12:00:00")
+      val expected = EventStreams.rollingDedup(e.toDS(), 10)
+        .filter($"ts" <= lit(finalWm)).collect().map(_.event_id).toSet
+      assert(got == expected, s"stream != batch prefix: $got vs $expected")
+      assert(got == Set(1L, 6L, 5L))
+    } finally q.stop()
+  }
+
   test("outer interval join null-pads unmatched clicks after the watermark") {
     val clicks = MemoryStream[Event](spark)
     val purchases = MemoryStream[Event](spark)
