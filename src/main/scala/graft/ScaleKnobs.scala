@@ -20,6 +20,8 @@ import graft.operators.{BlockDials, Dedup, Similarity}
   *   sbt "runMain graft.ScaleKnobs testdata/sf1 truth fixed"
   *     truth — also run the ground-truth variant (recall)
   *     fixed — also run round-14's fixed dials (width 500 / 4 bits)
+  *     q45only — documents-only dir (e.g. the realistic-vocabulary
+  *               fixture from tools/make_realistic_docs.py): skip q57
   */
 object ScaleKnobs {
   def main(args: Array[String]): Unit = {
@@ -59,6 +61,7 @@ object ScaleKnobs {
       println(f"q45 recall  auto=${pa.toDouble / math.max(1, pt)}%.4f")
     }
 
+    if (args.contains("q45only")) { spark.stop(); return }
     val emb = Tables.load(spark, sfDir, "embeddings")
     val ne = emb.count()
     val nb = BlockDials.signBits(ne)

@@ -98,6 +98,7 @@ class GraftExtensionsSpec extends SparkSpec {
           "sorted_intersect_count_long", "token_fingerprint",
           "dot_product", "shingle_md5", "chunk_md5", "token_pairs",
           "sorted_intersect_at_least_long",
-          "sorted_intersect_at_least_frac_left_long"))
+          "sorted_intersect_at_least_frac_left_long",
+          "graft_length_bucket_width", "graft_sign_bits"))
   }
 }

@@ -33,7 +33,17 @@ FAMILY+="q40_dedup_exact,q41_dedup_fingerprint,q42_minhash_signatures,"
 FAMILY+="q44_simhash,q45_jaccard_pairs,q46_range_join_bucketed,"
 FAMILY+="q76_kmv_distinct,q77_heavy_hitters,q78_chunk_dedup,"
 FAMILY+="q83_decontam,q84_unigram_lm,q85_doc_length_hist,"
-FAMILY+="q99_cooccurrence,q104_approx_distinct_gate"
+FAMILY+="q99_cooccurrence,q104_approx_distinct_gate,"
+# round 16 breadth: event/analytics families (linear-ish DuckDB plans,
+# feasible at sf10 — r15 verdict #4), q69 (closes the tfidf
+# adjudication with an sf10 datapoint), and the new capped-output pair
+# miners (their oracles replay the full blocked pair set / recursive
+# CTE, so a timeout degrades them to spark_only rows — their sf10
+# correctness evidence is PROPS_sf10 + the BoundedTopK/CC specs)
+FAMILY+="q60_events_tumbling,q61_events_sessionize,q62_events_props,"
+FAMILY+="q63_events_top_type,q64_events_sliding,q65_events_sessions,"
+FAMILY+="q69_tfidf_topterms,q86_scd2,q89_gap_fill,q90_session_window,"
+FAMILY+="q93_merge_upsert,q120_cosine_topk,q121_near_dup_components"
 OUT=/tmp/verify_sf10
 SPARK_GRAFT_VERIFY_ONLY="$FAMILY" SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Verify testdata/sf10 $OUT" >/dev/null
