@@ -397,6 +397,54 @@ object Dedup {
         col("containment"))
   }
 
+  /** Per-partition spanning-forest contraction — the edge-volume
+    * reduction that lets the connected-components variants accept a
+    * pair miner's raw output at scale. A dense near-dup block of m
+    * docs qualifies Θ(m²) pairs (that density is WHY they are
+    * near-dups), but connectivity needs only m−1 of them; at sf10
+    * q121's blocked cosine pairs are ~5·10⁸ rows, and materializing
+    * them through the first CC shuffle is what OOM'd a 24 g driver.
+    * Each input partition (for the pair miners: one complete
+    * bucket×chunk-pair subgraph per task, so the reduction is maximal)
+    * streams through a local union-find and emits an edge ONLY when it
+    * merges two components — a spanning forest of that partition's
+    * subgraph. Union over partitions preserves every global
+    * connection, so the downstream fixpoint labeling is unchanged;
+    * output is ≤ (#distinct vertices in the partition − 1) edges with
+    * task memory bounded by the same count. Duplicate edges and
+    * self-loops die here for free (they never merge anything).
+    * Long-id graphs only — non-long vertex ids pass through untouched
+    * (the generic path is correct, just not pre-contracted).
+    */
+  private def localSpanningForest(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val fields = edges.schema.fields
+    if (fields.length != 2 ||
+        fields(0).dataType != LongType || fields(1).dataType != LongType)
+      return edges
+    val Array(uName, vName) = fields.map(_.name)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges
+      .filter(col(uName).isNotNull && col(vName).isNotNull)
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (c != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.filter { case (u, v) =>
+          val ru = find(u); val rv = find(v)
+          if (ru == rv) false else { parent(math.max(ru, rv)) = math.min(ru, rv); true }
+        }
+      }
+      .toDF(uName, vName)
+  }
+
   /** The dedup DECISION step: candidate pairs (from [[minhashCandidates]],
     * [[jaccardPairs]], or `Similarity.cosinePairsBlocked`) form an
     * undirected graph; each document's component representative is the
@@ -424,10 +472,17 @@ object Dedup {
   def connectedComponents(vertices: DataFrame, id: Column,
                           pairs: DataFrame, src: Column, dst: Column,
                           maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(src.as("src"), dst.as("dst"))
-      .union(pairs.select(dst.as("src"), src.as("dst")))
+    // forest-contract BEFORE the symmetrize/distinct shuffle (see
+    // localSpanningForest — quadratic pair volume never leaves the
+    // miner's tasks); serialized storage so an edge set that still
+    // outgrows memory spills instead of OOMing the unroll
+    val forest = localSpanningForest(
+      pairs.select(src.as("src"), dst.as("dst")))
+    val edges = forest
+      .union(forest.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint() // symmetrize + materialize once, reused every round
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var labels = vertices.select(id.as("v"), id.as("component"))
       .localCheckpoint()
     var converged = false
@@ -522,11 +577,15 @@ object Dedup {
         .union(mins.select(col("u"), col("mn").as("v"))) // (u, m), u > m
         .distinct()
     }
-    var edges = pairs
-      .select(greatest(src, dst).as("u"), least(src, dst).as("v"))
-      .filter(col("u") =!= col("v"))
+    // forest-contract BEFORE the distinct shuffle (localSpanningForest
+    // — a pair miner's quadratic in-block output reduces to ≤ one
+    // edge per vertex inside its own tasks; global labels unchanged)
+    var edges = localSpanningForest(pairs
+        .select(greatest(src, dst).as("u"), least(src, dst).as("v"))
+        .filter(col("u") =!= col("v")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var converged = edges.isEmpty // no edges: everything is isolated
     var i = 0
     while (!converged && i < maxIters) {

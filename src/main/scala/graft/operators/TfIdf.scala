@@ -17,25 +17,32 @@ import graft.functions.TextFunctions.tokens
   * gate. Monotone in the usual `ln`-idf, so top-k per doc is the same
   * ranking a log formulation gives when df ordering decides.
   *
-  * Scale: one explode + (doc,term) shuffle for the term counts; the
-  * document-frequency table is VOCABULARY-sized and broadcast back —
-  * the corpus is never shuffled on anything but its own keys. The
-  * doc-length window and the final top-k window both partition by
-  * doc_id, so they share one exchange.
+  * Scale: one explode + (doc,len,term) shuffle for the term counts;
+  * the document-frequency table is VOCABULARY-sized and broadcast
+  * back — the corpus is never shuffled on anything but its own keys.
+  * The document length is `size(tokens)` carried from the SCAN
+  * through the count aggregate (len is constant per doc, so adding
+  * it to the grouping key changes no group) — a `sum(cnt) over
+  * (partition by doc_id)` window would be a second full-corpus
+  * exchange just to recompute a number the tokenizer already knew.
+  * The only other exchange is the top-k window's, and Spark's
+  * WindowGroupLimit prunes it to k candidates per doc per input
+  * partition before the shuffle.
   */
 object TfIdf {
 
   /** Top-`k` terms per document by tf-idf (ties broken by term). */
   def topTerms(docs: DataFrame, id: Column, text: Column, k: Int,
                roundTo: Int = 9): DataFrame = {
-    val toks = docs.select(id.as("doc_id"), explode(tokens(text)).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term"))
+    val toks = docs
+      .select(id.as("doc_id"), tokens(text).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
+        explode(col("toks")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("len"), col("term"))
       .agg(count(lit(1)).as("cnt"))
-    val withLen = tf.withColumn("len",
-      sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
     val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = withLen
+    val scored = tf
       .join(broadcast(dfTbl), Seq("term"))
       .crossJoin(broadcast(nDocs))
       // (cnt/len) * (n/df) in exactly this association — mirrored in
