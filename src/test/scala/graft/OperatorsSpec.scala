@@ -58,6 +58,31 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("forest contraction: dense clique scattered across partitions") {
+    // A 40-vertex clique qualifies 780 pairs but needs only 39 for
+    // connectivity — the per-partition union-find keeps a spanning
+    // forest of each task's edges. Scatter the edges over 8 partitions
+    // (deterministic hash order) so NO task sees the whole clique:
+    // correctness then depends on cross-partition forest union, the
+    // property that makes the contraction safe. Duplicate edges and
+    // self-loops must die in the contraction; the disjoint chain keeps
+    // a second component honest.
+    val clique = for { i <- 1L to 40L; j <- (i + 1) to 40L } yield (i, j)
+    val chain = (100L until 120L).map(i => (i, i + 1))
+    val extra = Seq((1L, 2L), (1L, 2L), (7L, 7L))
+    val scattered = (clique ++ chain ++ extra)
+      .sortBy { case (a, b) => ((a * 31 + b * 17) % 97, a, b) }
+    val pairs = spark.sparkContext.parallelize(scattered, 8).toDF("a", "b")
+    val vertices = ((1L to 40L) ++ (100L to 120L)).toDF("id")
+    val want = ((1L to 40L).map(_ -> 1L) ++ (100L to 120L).map(_ -> 100L)).toMap
+    val minLabel = Dedup.connectedComponents(vertices, $"id", pairs, $"a", $"b")
+      .as[(Long, Long)].collect().toMap
+    assert(minLabel == want)
+    val star = Dedup.connectedComponentsStar(vertices, $"id", pairs, $"a", $"b")
+      .as[(Long, Long)].collect().toMap
+    assert(star == want)
+  }
+
   test("connectedComponentsStar handles the edgeless graph") {
     val vertices = Seq(5L, 7L).toDF("id")
     val pairs = Seq.empty[(Long, Long)].toDF("a", "b")

@@ -26,6 +26,13 @@ class PlansSpec extends SparkSpec {
   private def plan(name: String): String =
     finalPlan(SparkEntry.queries(name)(spark, dir))
 
+  /** Node-count assertions must not double-count: the AQE plan string
+    * prints the final plan AND the initial plan. Everything before
+    * "== Initial Plan ==" is the executed one.
+    */
+  private def countNodes(p: String, node: String): Int =
+    (node + " \\[").r.findAllIn(p.split("== Initial Plan ==")(0)).size
+
   test("q01: filter is pushed to the parquet scan and columns pruned") {
     val p = plan("q01_scan_filter")
     assert(p.contains("PushedFilters:") &&
@@ -102,13 +109,14 @@ class PlansSpec extends SparkSpec {
     // the selection branch shuffles the corpus ONCE, on the score
     // bucket; the offsets branch must be a partial->final aggregate
     // (tiny exchange), not a second corpus-sized Window
-    val windows = p.linesIterator.count(_.trim.startsWith("Window "))
+    val windows = countNodes(p, "Window")
     assert(p.contains("partial_sum"),
       s"bucket totals lost their map-side partial phase:\n$p")
     // exactly two Window nodes: the in-bucket cumsum and the
     // #buckets-row offset window — a third means the offsets branch
     // re-windowed the corpus (the pre-fix plan)
-    assert(windows <= 2, s"offsets branch re-windows the corpus:\n$p")
+    assert(windows == 2,
+      s"expected the cumsum + offset windows, got $windows:\n$p")
     assert(p.contains("BroadcastExchange"),
       s"bucket offsets no longer broadcast back:\n$p")
   }
@@ -143,6 +151,43 @@ class PlansSpec extends SparkSpec {
     // mapPartitions (SerializeFromObject after MapPartitions) partial.
     assert(p.contains("MapPartitions"),
       s"bounded partial sketch gone — naive distinct is back:\n$p")
+  }
+
+  test("q120: ranking exchange bounded by the partial top-k heap") {
+    val p = plan("q120_cosine_topk")
+    // BoundedTopK's map-side partial caps the doc_id exchange at k
+    // entries per group per partition. If the partial phase vanishes
+    // (or the query regresses to a row_number window), the full
+    // qualifying-pair volume crosses the wire — the exact output-
+    // volume cost the capped variant exists to avoid.
+    assert(p.contains("partial_bounded_top_k"),
+      s"map-side partial top-k phase gone:\n$p")
+    val windows = countNodes(p, "Window")
+    assert(windows == 0, s"row_number window over the pair set is back:\n$p")
+    // the candidate scan is the same salted pair join q57 uses — the
+    // fixed-count task repartition must survive here too
+    val salted = p.linesIterator.filter(l =>
+      l.contains("hashpartitioning") && l.contains("__cb")).toSeq
+    assert(salted.exists(_.contains("REPARTITION_BY_NUM")),
+      s"salted pair-scan repartition no longer user-pinned:\n$p")
+  }
+
+  test("q69: doc length rides the count agg — one window remains") {
+    val p = plan("q69_tfidf_topterms")
+    // round 16: len = size(tokens) is carried from the scan through
+    // the (doc_id, len, term) count aggregate. A second Window node
+    // means the sum(cnt)-over-doc_id length window (a full-corpus
+    // exchange that recomputes what the tokenizer knew) crept back.
+    val windows = countNodes(p, "Window")
+    assert(windows == 1, s"expected only the top-k window, got $windows:\n$p")
+    // the surviving top-k window prunes to k candidates per doc per
+    // input partition before its exchange
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k window lost its partial group limit:\n$p")
+    // df table and n_docs enrich via broadcast — the corpus never
+    // shuffles on the term key
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled on the term key:\n$p")
   }
 
   test("q99: in-expression pair generation — no doc_id self-join") {
