@@ -342,6 +342,73 @@ object Similarity {
         col("e.score").as("cos"), (col("p") + 1).cast("int").as("rank"))
   }
 
+  /** Materialized IVF index: the corpus assigned to its nearest
+    * centroid and written partitioned by `list_id` — the embedding
+    * analog of `Dedup.writeBucketIndex`'s materialized dedup index.
+    * The k-means and the full-corpus assignment scan are paid ONCE,
+    * offline; every later query batch probes the layout read-only.
+    *
+    * Scale: `partitionBy(list_id)` makes the list the unit of I/O.
+    * A probe joining the (tiny, broadcast) query×nprobe-list frame
+    * against this scan triggers dynamic partition pruning, so a
+    * batch touching p of C lists READS p/C of the corpus bytes —
+    * the index never rebuilds, never reshuffles, and the pruning is
+    * visible in the plan (`PartitionFilters: dynamicpruning...`,
+    * pinned in PlansSpec). The per-item norm is precomputed at build
+    * time so probe-side scoring does no per-pair sqrt over the
+    * corpus vector.
+    */
+  def writeIvfIndex(corpus: DataFrame, id: String, vec: String,
+                    centroids: DataFrame, path: String,
+                    roundTo: Int = 9): Unit = {
+    val v = corpus.select(col(id).as("cid"), toDoubles(col(vec)).as("v"))
+    assignToCentroid(v, centroids, "v", roundTo)
+      .select(col("cid").as("item_id"), col("v").as("cv"),
+        l2Norm(col("v")).as("cn"), col("centroid_id").as("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+  }
+
+  /** Read a [[writeIvfIndex]] layout back as the corpus side of
+    * [[ivfProbeIndexed]].
+    */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Probe-only ANN over a materialized [[writeIvfIndex]] layout:
+    * each query picks its `nprobe` closest centroids (broadcast) and
+    * only those lists of the index are scanned (dynamic partition
+    * pruning) and scored. Same ranking semantics as [[ivfTopK]] —
+    * pinned equal in SimilaritySpec — without the per-batch k-means
+    * or corpus assignment.
+    */
+  def ivfProbeIndexed(index: DataFrame, queries: DataFrame, id: String,
+                      vec: String, k: Int, centroids: DataFrame,
+                      nprobe: Int, roundTo: Int = 9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qAssign = queries
+      .select(col(id).as("qid"), toDoubles(col(vec)).as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d", round(cosine(col("qv"), col("centroid")), roundTo))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("d").desc, col("centroid_id"))
+    val q = qAssign.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid").as("query_id"), col("qv"),
+        l2Norm(col("qv")).as("qn"), col("centroid_id").as("list_id"))
+    val scored = index.join(broadcast(q), Seq("list_id"))
+      .filter(col("query_id") =!= col("item_id"))
+      .withColumn("cos", round(dot(col("qv"), col("cv")) /
+        (col("qn") * col("cn")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("item_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("item_id").as("neighbor_id"),
+        col("list_id").cast("long").as("centroid_id"),
+        col("cos"), col("rank"))
+  }
+
   /** Blocked near-dup pairs fed STRAIGHT into connected components:
     * the dedup-decision composition whose output is Θ(n) labels — the
     * other capped form of [[cosinePairsBlocked]] (a 100 TB curation

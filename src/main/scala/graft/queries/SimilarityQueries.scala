@@ -59,7 +59,11 @@ object SimilarityQueries extends Catalog {
        |    GROUP BY centroid_id, dim) g
        |  GROUP BY centroid_id)""".stripMargin
 
-  private val duckIvf: String =
+  /** The IVF probe oracle, parameterized by the query-batch predicate
+    * (q54 probes inline-built lists; q122 probes the materialized
+    * index — same values, so one oracle body serves both).
+    */
+  private def duckIvfFor(queryPred: String): String =
     s"""WITH e AS ($duckE),
        |c0 AS (SELECT vec_id AS centroid_id, v AS centroid FROM e
        |       ORDER BY vec_id LIMIT 8),
@@ -83,7 +87,7 @@ object SimilarityQueries extends Catalog {
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY ${duckRoundCos("q.v", "c.centroid")} DESC,
        |                 c.centroid_id) AS rn
-       |    FROM (SELECT * FROM e WHERE vec_id < 10) q
+       |    FROM (SELECT * FROM e WHERE $queryPred) q
        |    CROSS JOIN c3 c) t
        |  WHERE rn <= 2),
        |scored AS (
@@ -98,6 +102,8 @@ object SimilarityQueries extends Catalog {
        |  FROM scored)
        |SELECT query_id, neighbor_id, centroid_id, cos, rank FROM ranked
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  private val duckIvf: String = duckIvfFor("vec_id < 10")
 
   override val queries: Seq[Q] = Seq(
 
@@ -165,6 +171,32 @@ object SimilarityQueries extends Catalog {
       Some(duckIvf),
       bench = false), // dominated by index BUILD (k-means) — an
                       // offline cost, not per-query latency
+
+    // Incremental ANN: the IVF index MATERIALIZED (list_id-partitioned
+    // parquet, per-item norm precomputed) and probed read-only — the
+    // embedding analog of q109's materialized dedup index. The k-means
+    // + full-corpus assignment are paid once at build; the probe scan
+    // is dynamically partition-pruned to the nprobe lists the batch
+    // actually touches (pinned in PlansSpec). Oracle: same values as
+    // q54's unrolled k-means, different query batch.
+    Q("q122_ann_ivf_probe",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val centroids = Similarity.trainCentroids(
+          e, "vec_id", "embedding", k = 8, iters = 3)
+        val path = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_q122_ivf_index").getAbsolutePath
+        Similarity.writeIvfIndex(e, "vec_id", "embedding", centroids, path)
+        Similarity.ivfProbeIndexed(
+            Similarity.readIvfIndex(s, path),
+            e.filter(col("vec_id") >= 10 && col("vec_id") < 20),
+            "vec_id", "embedding", k = K, centroids = centroids,
+            nprobe = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(duckIvfFor("vec_id >= 10 AND vec_id < 20")),
+      bench = false), // dominated by the one-time index build; the
+                      // probe-only speedup is measured in PLANS.md
 
     Q("q52_embedding_near_dup",
       (s, dir) => Similarity.cosinePairs(

@@ -190,6 +190,22 @@ class PlansSpec extends SparkSpec {
       s"corpus shuffled on the term key:\n$p")
   }
 
+  test("q122: probe scan is dynamically partition-pruned to the probed lists") {
+    val p = plan("q122_ann_ivf_probe")
+    // the materialized index is list_id-partitioned; the probe join's
+    // tiny broadcast side must prune the scan to the nprobe lists the
+    // batch touches — without DPP every probe reads the whole corpus
+    // and the materialized layout buys nothing
+    val scan = p.linesIterator.filter(l =>
+      l.contains("graft_q122_ivf_index") && l.contains("PartitionFilters")).toSeq
+    assert(scan.exists(_.contains("dynamicpruning")),
+      s"index scan no longer dynamically pruned on list_id:\n$p")
+    // and the probe side stays broadcast — a sort-merge join would
+    // shuffle the corpus lists on list_id, defeating the layout
+    assert(!p.contains("SortMergeJoin"),
+      s"index join degraded to a shuffle:\n$p")
+  }
+
   test("q99: in-expression pair generation — no doc_id self-join") {
     val p = plan("q99_cooccurrence")
     // TokenPairs generates the (t1, t2) pairs inside the scan

@@ -120,6 +120,26 @@ class SimilaritySpec extends SparkSpec {
     assert(overCap.isEmpty)
   }
 
+  test("ivfProbeIndexed over a materialized index == inline ivfTopK") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val centroids = Similarity.trainCentroids(
+      e, "vec_id", "embedding", k = 4, iters = 2)
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_spec_ivf_index").getAbsolutePath
+    Similarity.writeIvfIndex(e, "vec_id", "embedding", centroids, path)
+    val queries = e.filter($"vec_id" < 8)
+    val probed = Similarity.ivfProbeIndexed(
+      Similarity.readIvfIndex(spark, path), queries,
+      "vec_id", "embedding", k = 3, centroids = centroids, nprobe = 2)
+    val inline = Similarity.ivfTopK(
+      queries, e, "vec_id", "embedding", k = 3,
+      centroids = centroids, nprobe = 2)
+      .select($"query_id", $"neighbor_id",
+        $"centroid_id".cast("long").as("centroid_id"), $"cos", $"rank")
+    assert(probed.collect().toSet == inline.collect().toSet)
+    assert(probed.count() > 0)
+  }
+
   test("nearDupComponents == min-label CC over the blocked pair set") {
     val e = Tables.load(spark, dir, "embeddings")
     val (t, nbits) = (0.3, 2)
