@@ -43,7 +43,11 @@ FAMILY+="q99_cooccurrence,q104_approx_distinct_gate,"
 FAMILY+="q60_events_tumbling,q61_events_sessionize,q62_events_props,"
 FAMILY+="q63_events_top_type,q64_events_sliding,q65_events_sessions,"
 FAMILY+="q69_tfidf_topterms,q86_scd2,q89_gap_fill,q90_session_window,"
-FAMILY+="q93_merge_upsert,q120_cosine_topk,q121_near_dup_components"
+FAMILY+="q93_merge_upsert,q120_cosine_topk,q121_near_dup_components,"
+# q122's oracle replays q54's unrolled k-means over the full corpus —
+# expect a timeout→spark_only row at sf10; its completion at 100×
+# (index build + DPP probe) is the point
+FAMILY+="q122_ann_ivf_probe"
 OUT=/tmp/verify_sf10
 SPARK_GRAFT_VERIFY_ONLY="$FAMILY" SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Verify testdata/sf10 $OUT" >/dev/null
