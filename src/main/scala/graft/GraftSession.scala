@@ -23,6 +23,18 @@ import org.apache.spark.sql.SparkSession
   *    keeps scan parallelism ≈ cores for the ~0.1–1 GB local inputs;
   *    on a real cluster this is tuned to the file/split layout, and
   *    100 TB inputs arrive as many files regardless.
+  *  - `objectHashAggregate.sortBased.fallbackThreshold` raised from
+  *    Spark's ultra-conservative 128 to 1M: at 128, ANY
+  *    TypedImperativeAggregate grouped by a real key (BoundedTopK by
+  *    doc_id — 200 k+ groups) abandons the hash map after the first
+  *    128 groups and SORTS the entire partial-side stream by group
+  *    key — for q120 at sf10 that is a ~10⁹-row sort whose cost
+  *    scales with the candidate-pair volume, erasing the bound the
+  *    partial heap exists to provide (measured: 61 s → see PLANS.md
+  *    round 16). 1M hash entries × the engine's bounded states
+  *    (k-heaps, small collect_lists) ≈ 150 MB per task worst case —
+  *    inside a 1–4 GB executor-core budget at any scale, and
+  *    partitions exceeding 1M distinct groups still fall back safely.
   */
 object GraftSession {
   def builder(master: String, shufflePartitions: String): SparkSession.Builder =
@@ -30,6 +42,8 @@ object GraftSession {
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
