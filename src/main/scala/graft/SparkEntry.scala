@@ -15,7 +15,8 @@ object SparkEntry {
   val catalogs: Seq[Catalog] = Seq(
     CoreQueries, CoreQueries2, CoreQueries3, TextQueries, DedupQueries,
     SimilarityQueries, EventQueries, AnalyticsQueries,
-    IncrementalQueries, TrainingQueries, MultimodalQueries)
+    IncrementalQueries, TrainingQueries, MultimodalQueries,
+    PipelineQueries)
 
   private lazy val allQueries: Seq[Q] = catalogs.flatMap(_.queries)
 

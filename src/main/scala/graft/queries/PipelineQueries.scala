@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.operators.{BudgetSelect, Dedup}
+
+/** The end-to-end curation pipeline: the composition a 100 TB
+  * training-data run actually executes, as ONE oracled query —
+  * quality gate → exact dedup → near-dup components → token-budget
+  * selection. Every stage is an operator that is individually oracled
+  * elsewhere (q39, q40, q103, q114); this entry gates that they
+  * COMPOSE: each stage's survivors feed the next with no
+  * rematerialization, and the whole chain stays hash-checkable.
+  *
+  * Scale posture is inherited from the stages: the quality mask is a
+  * map-side expression on the scan; exact dedup is one hash agg +
+  * semi join; the near-dup decision runs LSH banding (shuffle on
+  * (band, sig) only) into star-contraction CC over forest-contracted
+  * edges; budget selection shuffles the pool once on the score
+  * bucket. No stage revisits a prior stage's input.
+  */
+object PipelineQueries extends Catalog {
+
+  // same dials as the dedup family (DedupQueries): oracle CTEs below
+  // are rebuilt from these constants, parameterized by source
+  // relation — the bodies in DedupQueries are pinned to `documents`,
+  // while every CTE here runs over the pipeline's surviving pool
+  private val NumHashes = 8
+  private val Bands = 4
+  private val Rows = NumHashes / Bands
+  private val PipeBudget = 8000L
+
+  private val ws = TextFunctions.wsClass
+  private val duckToks = s"regexp_split_to_array(trim(text), '$ws+')"
+  private val duckToksLower =
+    s"regexp_split_to_array(trim(lower(text)), '$ws+')"
+  private def duckHits(set: Seq[String]): String = {
+    val in = set.map(s => s"'$s'").mkString(", ")
+    s"len(list_filter($duckToksLower, t -> t IN ($in)))"
+  }
+
+  /** q39's reason mask (same thresholds/bits), as one SQL expression. */
+  private val duckMask: String = {
+    val n = s"len($duckToks)"
+    val avgLen = s"(CASE WHEN $n > 0 THEN CAST(len(array_to_string($duckToks, '')) AS DOUBLE) / $n ELSE 0.0 END)"
+    val symRatio = s"""(CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END)"""
+    val distinctRatio = s"(CASE WHEN $n > 0 THEN CAST(len(list_distinct($duckToks)) AS DOUBLE) / $n ELSE 0.0 END)"
+    val hits = duckHits(TextFunctions.stopwords("en"))
+    s"""((CASE WHEN $n < 50 OR $n > 100000 THEN 1 ELSE 0 END)
+       | + (CASE WHEN $avgLen < 3.0 OR $avgLen > 10.0 THEN 2 ELSE 0 END)
+       | + (CASE WHEN $symRatio > 0.1 THEN 4 ELSE 0 END)
+       | + (CASE WHEN $hits = 0 THEN 8 ELSE 0 END)
+       | + (CASE WHEN $distinctRatio < 0.2 THEN 16 ELSE 0 END))""".stripMargin
+  }
+
+  private def duckMinhash(seed: Int): String =
+    s"list_min(list_transform(sh, x -> md5('$seed:' || x)))"
+
+  /** Shingle + LSH-pair CTE chain over the pipeline's `pool` CTE —
+    * same dials and md5 banding as DedupQueries' bodies.
+    */
+  private val duckLshOverPool: String = {
+    val sigs = (0 until NumHashes)
+      .map(i => s"  ${duckMinhash(i)} AS m$i").mkString(",\n")
+    val bandCases = (0 until Bands).map { b =>
+      val parts = (0 until Rows).map(r => s"m${b * Rows + r}")
+        .mkString(" || '|' || ")
+      s"WHEN $b THEN md5($parts)"
+    }.mkString(" ")
+    s"""d AS (SELECT doc_id, $duckToks AS toks FROM pool),
+       |s AS (SELECT doc_id,
+       |  CASE WHEN len(toks) >= 3
+       |    THEN list_transform(range(0, len(toks)-2),
+       |           i -> array_to_string(list_slice(toks, i+1, i+3), ' '))
+       |    ELSE [] END AS sh
+       |  FROM d),
+       |sig AS (SELECT doc_id,
+       |$sigs
+       |FROM s),
+       |buckets AS (
+       |  SELECT doc_id, b.band,
+       |    CASE b.band $bandCases END AS bsig
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $Bands)) AS band) b),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b
+       |  FROM buckets a JOIN buckets bb
+       |    ON a.band = bb.band AND a.bsig = bb.bsig
+       |    AND a.doc_id < bb.doc_id
+       |  WHERE a.bsig IS NOT NULL
+       |  GROUP BY a.doc_id, bb.doc_id)""".stripMargin
+  }
+
+  override val queries: Seq[Q] = Seq(
+
+    Q("q123_curation_pipeline",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        // stage 1 — quality gate: map-side mask on the scan
+        val clean = docs.filter(qualityMask(col("text")) === 0)
+        // stage 2 — exact dedup, first (lowest doc_id) wins
+        val exactKeep = Dedup.exact(clean, col("doc_id"), md5(col("text")))
+          .select(col("keep_id").as("doc_id"))
+        val pool = clean.join(exactKeep, Seq("doc_id"), "left_semi")
+        // stage 3 — near-dup DECISION: LSH candidates into
+        // star-contraction CC; only component minima survive
+        val pairs = Dedup.minhashCandidates(
+          pool, col("doc_id"), col("text"), NumHashes, Bands)
+        val survivorIds = Dedup.connectedComponentsStar(
+            pool, col("doc_id"), pairs, col("doc_a"), col("doc_b"))
+          .filter(col("v") === col("component"))
+          .select(col("v").as("doc_id"))
+        val survivors = pool.join(survivorIds, Seq("doc_id"), "left_semi")
+        // stage 4 — token-budget selection by lexical diversity
+        val scored = survivors.select(col("doc_id"), col("source"),
+            tokenCount(col("text")).as("n_tok"),
+            size(array_distinct(tokens(col("text")))).as("n_uniq"))
+          .filter(col("n_tok") > 0)
+          .withColumn("score",
+            col("n_uniq").cast("double") / col("n_tok"))
+        BudgetSelect.selectByTokenBudget(scored, col("score"),
+            col("n_tok"), col("doc_id"), budget = PipeBudget, buckets = 16)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"),
+            sum(col("doc_id")).as("id_sum"),
+            max(col("cum_tokens")).as("max_cum"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH RECURSIVE qual AS (
+              |  SELECT * FROM documents WHERE $duckMask = 0),
+              |ek AS (
+              |  SELECT MIN(doc_id) AS doc_id FROM qual GROUP BY md5(text)),
+              |pool AS (
+              |  SELECT q.* FROM qual q JOIN ek USING (doc_id)),
+              |$duckLshOverPool,
+              |edges AS (
+              |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |  UNION
+              |  SELECT doc_b, doc_a FROM pairs),
+              |walk(v, l) AS (
+              |  SELECT doc_id, doc_id FROM pool
+              |  UNION
+              |  SELECT e.dst, w.l FROM walk w JOIN edges e ON e.src = w.v),
+              |surv AS (
+              |  SELECT v AS doc_id FROM walk GROUP BY v HAVING v = MIN(l)),
+              |t AS (
+              |  SELECT p.doc_id, p.source,
+              |    CAST(len($duckToks) AS BIGINT) AS n_tok,
+              |    CAST(len(list_distinct($duckToks)) AS BIGINT) AS n_uniq
+              |  FROM (SELECT pool.* FROM pool JOIN surv USING (doc_id)) p),
+              |sc AS (
+              |  SELECT *, CAST(n_uniq AS DOUBLE) / n_tok AS score
+              |  FROM t WHERE n_tok > 0),
+              |c AS (
+              |  SELECT *, SUM(n_tok) OVER (ORDER BY score DESC, doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              |  FROM sc)
+              |SELECT source,
+              |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(n_tok) AS BIGINT) AS tokens,
+              |  MIN(doc_id) AS first_doc,
+              |  MAX(doc_id) AS last_doc,
+              |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+              |  CAST(MAX(cum) AS BIGINT) AS max_cum
+              |FROM c WHERE cum <= $PipeBudget
+              |GROUP BY source ORDER BY source""".stripMargin),
+      bench = false) // the stage operators are benched individually
+                     // (q39/q40/q103/q114); the composed recursive-CTE
+                     // oracle is the gate here, not a headline time
+  )
+}
