@@ -416,6 +416,13 @@ object Dedup {
     * Long-id graphs only — non-long vertex ids pass through untouched
     * (the generic path is correct, just not pre-contracted).
     */
+  /** Stats-truncating eager local checkpoint — see the Scaladoc on
+    * [[connectedComponents]] for why plain `localCheckpoint` is not
+    * usable inside an iterative self-join.
+    */
+  private def flatCheckpoint(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.flatLocalCheckpoint(df)
+
   private def localSpanningForest(edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.LongType
     val fields = edges.schema.fields
@@ -463,28 +470,38 @@ object Dedup {
     * be thousands deep — sf3's regenerated corpus already exceeded 25),
     * propagate+jump needs O(log diameter). Cliquish near-dup graphs
     * (diameter 2-4) still converge in 2-3 rounds, now paying one extra
-    * small join each. `localCheckpoint` per round keeps lineage flat;
-    * the prior round's blocks are freed as soon as the next
-    * materializes. Throws if `maxIters` rounds don't converge — a
+    * small join each. A stats-truncating local checkpoint per round
+    * ([[graft.operators.Dedup.flatCheckpoint]]) keeps BOTH the lineage
+    * and the size estimate flat — Spark's own `localCheckpoint` copies
+    * the checkpointed plan's estimated Statistics onto the LogicalRDD,
+    * so a loop that self-joins its checkpoint would otherwise SQUARE
+    * the estimate every round until planning throws `BigInteger would
+    * overflow supported range` (~24 rounds). The prior round's blocks
+    * are freed as soon as the next materializes. Throws if `maxIters`
+    * rounds don't converge — a
     * silently unconverged labeling would be nondeterministic, which is
     * worse than loud.
     */
   def connectedComponents(vertices: DataFrame, id: Column,
                           pairs: DataFrame, src: Column, dst: Column,
                           maxIters: Int = 25): DataFrame = {
-    // forest-contract BEFORE the symmetrize/distinct shuffle (see
-    // localSpanningForest — quadratic pair volume never leaves the
-    // miner's tasks); serialized storage so an edge set that still
-    // outgrows memory spills instead of OOMing the unroll
-    val forest = localSpanningForest(
-      pairs.select(src.as("src"), dst.as("dst")))
-    val edges = forest
-      .union(forest.select(col("dst").as("src"), col("src").as("dst")))
+    // NO forest contraction here, deliberately: min-label's round
+    // bound is O(log DIAMETER), and contracting a dense near-dup block
+    // (diameter ~1) to a spanning tree (diameter up to block size)
+    // trades away exactly the property this variant's bound rests on —
+    // measured at sf1: 9 rounds on raw edges vs >25 on the contracted
+    // forest. The contraction lives in [[connectedComponentsStar]],
+    // whose O(log n) round bound is structure-independent; that is
+    // the variant the high-volume pair miners feed (q121).
+    // Serialized storage so a big edge set spills instead of OOMing.
+    val e0 = pairs.select(src.as("src"), dst.as("dst"))
+    val edges = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    var labels = vertices.select(id.as("v"), id.as("component"))
-      .localCheckpoint()
+    var labels = flatCheckpoint(
+      vertices.select(id.as("v"), id.as("component")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -493,23 +510,21 @@ object Dedup {
       // still contains the union with itself trips Catalyst's
       // constraint rewrite on shared attribute ids; a flat LogicalRDD
       // self-join is unambiguous
-      val prop = labels
+      val prop = flatCheckpoint(labels
         .union(edges.join(labels, edges("dst") === labels("v"))
           .select(edges("src").as("v"), col("component")))
         .groupBy(col("v"))
-        .agg(min(col("component")).as("component"))
-        .localCheckpoint()
+        .agg(min(col("component")).as("component")))
       // label jump: every label value is itself a vertex id, so
       // component∘component is defined; chasing one level per round
       // doubles the effective propagation distance (O(log d) rounds).
       // Monotone (labels only decrease) and stable at the propagation
       // fixpoint (component(m) = m for a component min m), so the
       // converged labeling — and the oracle — are unchanged.
-      val next = prop.as("a")
+      val next = flatCheckpoint(prop.as("a")
         .join(prop.as("b"), col("a.component") === col("b.v"), "left")
         .select(col("a.v"),
-          coalesce(col("b.component"), col("a.component")).as("component"))
-        .localCheckpoint()
+          coalesce(col("b.component"), col("a.component")).as("component")))
       prop.unpersist()
       converged = next.as("n")
         .join(labels.as("p"), col("n.v") === col("p.v"))
@@ -589,7 +604,7 @@ object Dedup {
     var converged = edges.isEmpty // no edges: everything is isolated
     var i = 0
     while (!converged && i < maxIters) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = flatCheckpoint(smallStar(largeStar(edges)))
       // both sets are distinct + canonical, so equal counts plus empty
       // one-sided difference means set equality
       converged = next.count() == edges.count() &&

@@ -39,4 +39,38 @@ package object graftbridge {
                                e: Expression): Throwable =
     errors.QueryCompilationErrors.unexpectedInputDataTypeError(
       fn, paramIndex, expected, e)
+
+  /** `localCheckpoint` that TRUNCATES inherited plan statistics.
+    *
+    * Spark 4's `Dataset.localCheckpoint` copies the checkpointed
+    * plan's estimated `Statistics` (and constraints) onto the
+    * resulting `LogicalRDD` (`LogicalRDD.rewriteStatsAndConstraints`).
+    * In an iterative algorithm that self-joins its own checkpoint each
+    * round (connected components' label jump), the size-only estimate
+    * therefore SQUARES per round — surviving straight through every
+    * checkpoint — and after ~24 rounds the BigInt byte count exceeds
+    * `BigInteger`'s supported range and planning itself throws
+    * (`java.lang.ArithmeticException: BigInteger would overflow
+    * supported range`, hit by q47 at sf1). This variant re-wraps the
+    * checkpointed RDD in a fresh `LogicalRDD` with NO origin stats
+    * (falls back to `defaultSizeInBytes` — constant, so per-round
+    * estimates stop compounding) while keeping the materialized
+    * blocks, output partitioning and ordering.
+    */
+  def flatLocalCheckpoint(df: DataFrame,
+                          storageLevel: Option[org.apache.spark.storage.StorageLevel] = None): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val ck = storageLevel match {
+      case Some(sl) => ds.localCheckpoint(eager = true, storageLevel = sl)
+      case None     => ds.localCheckpoint()
+    }
+    ck.queryExecution.logical match {
+      case l: execution.LogicalRDD =>
+        classic.Dataset.ofRows(ck.sparkSession,
+          execution.LogicalRDD(l.output, l.rdd, l.outputPartitioning,
+            l.outputOrdering, l.isStreaming, l.stream)(
+            ck.sparkSession, None, None))
+      case _ => ck.toDF()
+    }
+  }
 }

@@ -83,6 +83,26 @@ class OperatorsSpec extends SparkSpec {
     assert(star == want)
   }
 
+  test("flatLocalCheckpoint: 30 self-join rounds don't overflow plan stats") {
+    // Spark's localCheckpoint copies the checkpointed plan's estimated
+    // Statistics onto the LogicalRDD, so an iterative self-join SQUARES
+    // the size estimate every round; at ~24 rounds the BigInt bit count
+    // exceeds BigInteger's supported range and PLANNING throws
+    // (ArithmeticException — q47's sf1 failure mode). The
+    // stats-truncating variant must survive arbitrarily many rounds.
+    import org.apache.spark.sql.graftbridge.flatLocalCheckpoint
+    var df = Seq((1L, 1L), (2L, 1L)).toDF("v", "c")
+    for (_ <- 1 to 30) {
+      df = flatLocalCheckpoint(
+        df.as("a").join(df.as("b"), $"a.c" === $"b.v")
+          .select($"a.v", $"b.c".as("c")))
+      // the estimate must stay put (defaultSizeInBytes), not compound
+      assert(df.queryExecution.optimizedPlan.stats.sizeInBytes
+        .bitLength < 64, "checkpoint stats compounding again")
+    }
+    assert(df.count() == 2)
+  }
+
   test("connectedComponentsStar handles the edgeless graph") {
     val vertices = Seq(5L, 7L).toDF("id")
     val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
