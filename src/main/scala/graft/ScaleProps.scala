@@ -138,13 +138,21 @@ object ScaleProps {
     //    (the representative is a real vertex labeling itself — which
     //    also proves label ⊆ id);
     //  - n_components matches between the implementations.
+    // `contract` opts the min-label side into spanning-forest edge
+    // contraction: q121's miner emits ~5*10^8 pairs at sf10, and
+    // symmetrizing them raw OOMs a 24g local driver — the contracted
+    // forest has <= |V| edges at the cost of a deeper tree, so the
+    // round budget rises with it (checkpoints truncate stats, so long
+    // loops are safe).
     def checkComponents(name: String, vertices: DataFrame, id: String,
-                        pairs: DataFrame, a: String, b: String)
+                        pairs: DataFrame, a: String, b: String,
+                        contract: Boolean = false)
         : (String, Seq[(String, Any)]) = {
       val edges = pairs.select(col(a), col(b))
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val l1 = Dedup.connectedComponents(
-        vertices.select(col(id)), col(id), edges, col(a), col(b))
+        vertices.select(col(id)), col(id), edges, col(a), col(b),
+        maxIters = if (contract) 100 else 25, contractEdges = contract)
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val l2 = Dedup.connectedComponentsStar(
         vertices.select(col(id)), col(id), edges, col(a), col(b))
@@ -178,7 +186,7 @@ object ScaleProps {
       docs, "doc_id", lshPairs, "doc_a", "doc_b")
     val rNd = checkComponents("q121_near_dup_components",
       emb, "vec_id", q57Pairs.select(col("id_a"), col("id_b")),
-      "id_a", "id_b")
+      "id_a", "id_b", contract = true)
 
     val results = Seq(r45, r57, rCc, rNd)
     val json = results.map { case (name, m) =>

@@ -484,17 +484,24 @@ object Dedup {
     */
   def connectedComponents(vertices: DataFrame, id: Column,
                           pairs: DataFrame, src: Column, dst: Column,
-                          maxIters: Int = 25): DataFrame = {
-    // NO forest contraction here, deliberately: min-label's round
-    // bound is O(log DIAMETER), and contracting a dense near-dup block
-    // (diameter ~1) to a spanning tree (diameter up to block size)
-    // trades away exactly the property this variant's bound rests on —
-    // measured at sf1: 9 rounds on raw edges vs >25 on the contracted
-    // forest. The contraction lives in [[connectedComponentsStar]],
-    // whose O(log n) round bound is structure-independent; that is
-    // the variant the high-volume pair miners feed (q121).
+                          maxIters: Int = 25,
+                          contractEdges: Boolean = false): DataFrame = {
+    // NO forest contraction by default, deliberately: min-label's
+    // round bound is O(log DIAMETER), and contracting a dense near-dup
+    // block (diameter ~1) to a spanning tree (diameter up to block
+    // size) trades away exactly the property this variant's bound
+    // rests on — measured at sf1: 9 rounds on raw edges vs >25 on the
+    // contracted forest. The contraction lives in
+    // [[connectedComponentsStar]], whose O(log n) round bound is
+    // structure-independent; that is the variant the high-volume pair
+    // miners feed (q121). `contractEdges = true` opts back in for
+    // edge sets too large to symmetrize raw (Θ(m²) miner output):
+    // same fixpoint, bounded memory, but budget maxIters for the
+    // deeper contracted forest — safe now that checkpoints truncate
+    // stats (no ~24-round planning ceiling).
     // Serialized storage so a big edge set spills instead of OOMing.
-    val e0 = pairs.select(src.as("src"), dst.as("dst"))
+    val raw = pairs.select(src.as("src"), dst.as("dst"))
+    val e0 = if (contractEdges) localSpanningForest(raw) else raw
     val edges = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
