@@ -31,10 +31,26 @@ import org.apache.spark.sql.SparkSession
   *    key — for q120 at sf10 that is a ~10⁹-row sort whose cost
   *    scales with the candidate-pair volume, erasing the bound the
   *    partial heap exists to provide (measured: 61 s → see PLANS.md
-  *    round 16). 1M hash entries × the engine's bounded states
-  *    (k-heaps, small collect_lists) ≈ 150 MB per task worst case —
-  *    inside a 1–4 GB executor-core budget at any scale, and
-  *    partitions exceeding 1M distinct groups still fall back safely.
+  *    round 16). The raise is session-global and the threshold is
+  *    count-based with no memory accounting, so it also governs the
+  *    engine's UNbounded-state object aggregates — audited here so the
+  *    weakened early-fallback guard is a decision, not an accident:
+  *      - BoundedTopK / KMV / per-centroid dim lists: state bounded by
+  *        construction (k-heap, ≤K sketch, k×dims) — 1M entries ≈
+  *        150 MB per task worst case, the intended beneficiaries.
+  *      - LSH bucket members (Dedup.minhashCandidates collect_list)
+  *        and per-doc rarity arrays (Dedup.containmentPairs): state
+  *        per GROUP is a real-dup bucket / one doc's tokens, but the
+  *        partial phase can now buffer up to 1M groups, i.e. ≈ the
+  *        task's whole input slice as object lists. That slice is
+  *        itself bounded: scan partitions by files.maxPartitionBytes
+  *        (16 MB here; split-sized on a cluster) and post-shuffle
+  *        slices by the shuffle-partition dial, so worst case is
+  *        ~4× slice bytes of heap — hundreds of MB, not unbounded,
+  *        and partitions beyond 1M distinct groups still spill.
+  *    If a future aggregate has per-group state NOT bounded by doc/
+  *    bucket size, scope it: build that query on `newSession()` with
+  *    the Spark default (128) restored.
   */
 object GraftSession {
   def builder(master: String, shufflePartitions: String): SparkSession.Builder =

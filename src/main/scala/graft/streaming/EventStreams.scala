@@ -285,9 +285,11 @@ object EventStreams {
     * exactly the batch lag form.
     */
   def rollingDedupOrdered(events: Dataset[Event], withinMinutes: Int,
-                          watermark: String = "30 minutes")
+                          watermark: String = "30 minutes",
+                          maxBuffered: Int = 100000)
       : Dataset[Event] = {
     import events.sparkSession.implicits._
+    require(maxBuffered >= 1, "maxBuffered must be >= 1")
     val gapUs = withinMinutes * 60L * 1000000L
     def micros(t: Timestamp): Long =
       t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
@@ -317,6 +319,19 @@ object EventStreams {
             prev = t
           }
           if (hold.nonEmpty) {
+            // state bound: a hot key receiving events faster than the
+            // watermark advances would otherwise grow this buffer
+            // without limit (rate × horizon). Fail loudly at the bound
+            // instead of an opaque executor OOM — same pattern as
+            // Kmv.maxGroups.
+            if (hold.size > maxBuffered)
+              throw new IllegalStateException(
+                s"EventStreams.rollingDedupOrdered: key holds ${hold.size} " +
+                  s"events inside the watermark (> maxBuffered=$maxBuffered). " +
+                  "The event rate × watermark horizon exceeds the state " +
+                  "budget for this key — shorten the watermark, use " +
+                  "rollingDedup (per-key-ordered fast path), or raise " +
+                  "maxBuffered")
             state.update(RollingBuf(prev, hold))
             if (streaming) {
               // wake when the watermark can next finalize something;

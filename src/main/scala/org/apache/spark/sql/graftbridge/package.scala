@@ -70,7 +70,17 @@ package object graftbridge {
           execution.LogicalRDD(l.output, l.rdd, l.outputPartitioning,
             l.outputOrdering, l.isStreaming, l.stream)(
             ck.sparkSession, None, None))
-      case _ => ck.toDF()
+      case other =>
+        // A non-LogicalRDD checkpoint plan means a Spark upgrade moved
+        // the stats we exist to truncate: returning it silently would
+        // quietly reintroduce the BigInteger-overflow planning failure.
+        // Surface it as a clear error at the checkpoint site instead of
+        // a deep ArithmeticException ~24 join rounds later.
+        throw new IllegalStateException(
+          "graftbridge.flatLocalCheckpoint: localCheckpoint produced a " +
+            s"${other.getClass.getName} instead of LogicalRDD; cannot " +
+            "truncate inherited plan statistics. Spark's checkpoint plan " +
+            "shape changed — update flatLocalCheckpoint for this version.")
     }
   }
 }

@@ -81,6 +81,14 @@ class OperatorsSpec extends SparkSpec {
     val star = Dedup.connectedComponentsStar(vertices, $"id", pairs, $"a", $"b")
       .as[(Long, Long)].collect().toMap
     assert(star == want)
+    // min-label with opt-in edge contraction (the sf10 q121 path):
+    // contracting the clique to a spanning tree stretches its diameter
+    // from 1 to up to 39, so give the round budget headroom — the
+    // labels must still come out identical.
+    val minContracted = Dedup.connectedComponents(vertices, $"id",
+        pairs, $"a", $"b", maxIters = 100, contractEdges = true)
+      .as[(Long, Long)].collect().toMap
+    assert(minContracted == want)
   }
 
   test("flatLocalCheckpoint: 30 self-join rounds don't overflow plan stats") {

@@ -285,6 +285,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rollingDedupOrdered fails loudly when a key exceeds maxBuffered") {
+    // a hot key whose events all sit inside the watermark horizon:
+    // nothing can flush, so the buffer reaches the bound — the guard
+    // must name itself instead of letting state grow toward an OOM.
+    val src = MemoryStream[Event](spark)
+    val q = EventStreams.rollingDedupOrdered(
+        src.toDS(), withinMinutes = 10, watermark = "30 minutes",
+        maxBuffered = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rdo_guard").start()
+    try {
+      src.addData((0 to 4).map(i => Event(100L + i, ts(i), 1, "click", 0)): _*)
+      val ex = intercept[Exception](q.processAllAvailable())
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      assert(chain(ex).exists(t => t.getMessage != null &&
+        t.getMessage.contains("maxBuffered")),
+        s"expected the named maxBuffered guard, got: ${ex.getMessage}")
+    } finally q.stop()
+  }
+
   test("outer interval join null-pads unmatched clicks after the watermark") {
     val clicks = MemoryStream[Event](spark)
     val purchases = MemoryStream[Event](spark)
