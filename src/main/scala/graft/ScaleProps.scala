@@ -188,7 +188,79 @@ object ScaleProps {
       emb, "vec_id", q57Pairs.select(col("id_a"), col("id_b")),
       "id_a", "id_b", contract = true)
 
-    val results = Seq(r45, r57, rCc, rNd)
+    // ---- q123: the COMPOSED pipeline at scale ----
+    // Stages are individually gated above/elsewhere; these laws gate
+    // the composition itself: the CC decision re-checked on the SAME
+    // pool+pairs the pipeline feeds it (cross-impl equality etc.),
+    // and the composed output respecting the token budget.
+    val (pool, pipePairs) = graft.queries.PipelineQueries
+      .poolAndPairs(spark, sfDir)
+    val rPipeCc = checkComponents("q123_pipeline_components",
+      pool, "doc_id", pipePairs.select(col("doc_a"), col("doc_b")),
+      "doc_a", "doc_b")
+    val rPipe = {
+      val budget = graft.queries.PipelineQueries.pipeBudget
+      val out = SparkEntry.queries("q123_curation_pipeline")(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val row = out.agg(count(lit(1)), sum(col("n_docs")),
+        sum(col("tokens")), max(col("max_cum"))).head()
+      val nSrc = row.getLong(0)
+      val nDocs = if (row.isNullAt(1)) 0L else row.getLong(1)
+      val toks = if (row.isNullAt(2)) 0L else row.getLong(2)
+      val maxCum = if (row.isNullAt(3)) 0L else row.getLong(3)
+      out.unpersist()
+      val all = Seq[(String, Any)](
+        "sources" -> nSrc, "selected_docs" -> nDocs,
+        "tokens_total" -> toks, "max_cum" -> maxCum,
+        "budget" -> budget,
+        "nonempty" -> (nSrc > 0 && nDocs > 0),
+        "budget_respected" -> (toks <= budget && maxCum <= budget
+          && toks <= maxCum))
+      println(s"[props] q123_curation_pipeline: $all")
+      ("q123_curation_pipeline", all)
+    }
+
+    // ---- q124: indexed capped mining (oracle times out at sf10 —
+    // its DuckDB replay re-assigns the full corpus through a window;
+    // these laws are the 100× gate instead) ----
+    val r124 = {
+      val (k, thr) = graft.queries.SimilarityQueries.topKDials
+      val out = SparkEntry.queries("q124_cosine_topk_indexed")(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val agg = out.agg(count(lit(1)), min(col("cos")), max(col("cos")))
+        .head()
+      val n = agg.getLong(0)
+      val sound = n == 0 ||
+        (agg.getDouble(1) >= thr && agg.getDouble(2) <= 1.0 + 1e-9)
+      // per-doc cap + rank contiguity: exactly m rows ranked 1..m<=k
+      val perDoc = out.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("c"), max(col("rank")).as("mr"),
+        countDistinct(col("rank")).as("dr"))
+      val capped = perDoc.filter(col("c") > k || col("mr") =!= col("c")
+        || col("dr") =!= col("c")).limit(1).count() == 0L
+      // seeded sample re-scored exactly from the raw embeddings
+      val frac = math.min(1.0, 2000.0 / math.max(1L, n))
+      val sample = out.sample(withReplacement = false, frac, seed = 42L)
+        .join(vecs.select(col("vec_id").as("doc_id"), col("__v").as("__va"),
+          col("__nrm").as("__na")), "doc_id")
+        .join(vecs.select(col("vec_id").as("neighbor_id"),
+          col("__v").as("__vb"), col("__nrm").as("__nb")), "neighbor_id")
+        .withColumn("__rescore",
+          round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 9))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val sampleN = sample.count()
+      val exactOk = sample
+        .filter(abs(col("cos") - col("__rescore")) > 1e-9)
+        .limit(1).count() == 0L
+      sample.unpersist(); out.unpersist()
+      val all = Seq[(String, Any)](
+        "rows" -> n, "sampled" -> sampleN, "soundness" -> sound,
+        "per_doc_capped_contiguous" -> capped, "sampled_exact" -> exactOk)
+      println(s"[props] q124_cosine_topk_indexed: $all")
+      ("q124_cosine_topk_indexed", all)
+    }
+
+    val results = Seq(r45, r57, rCc, rNd, rPipeCc, rPipe, r124)
     val json = results.map { case (name, m) =>
       val fields = m.map {
         case (k, v: Boolean) => s""""$k": $v"""

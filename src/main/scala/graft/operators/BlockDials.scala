@@ -73,6 +73,24 @@ object BlockDials {
     math.min(maxBits, math.max(1, bits))
   }
 
+  /** IVF list count for [[Similarity.cosineTopKIndexed]]-style indexed
+    * mining: `max(minLists, ceil(n / targetList))` — lists scale with
+    * the corpus so per-list occupancy stays ~`targetList` and the
+    * probe-join candidate volume is Θ(n · nprobe · targetList), i.e.
+    * linear in n by construction (unlike sign buckets, whose FIXED
+    * axis-aligned projections concentrate a clustered corpus into few
+    * hot buckets no matter how many bits the dial adds — k-means
+    * centroids follow the data and split hot regions). Pure integer
+    * derivation (`GREATEST(minLists, CAST(CEIL(n / targetList.0) AS
+    * BIGINT))` in DuckDB), same oracle contract as the other dials.
+    */
+  def ivfLists(n: Long, targetList: Long = 500L, minLists: Int = 4): Int = {
+    require(n >= 0, "count must be non-negative")
+    require(targetList >= 1, "targetList must be >= 1")
+    require(minLists >= 1, "minLists must be >= 1")
+    math.max(minLists.toLong, math.ceil(n / targetList.toDouble).toLong).toInt
+  }
+
   /** The two corpus stats the dials need, via one column-pruned agg
     * job (count + max over a single int column — parquet footer
     * statistics feed the max, and the scan never touches text or

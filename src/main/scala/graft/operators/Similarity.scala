@@ -181,17 +181,35 @@ object Similarity {
   /** Nearest centroid per row by cosine (broadcast centroids); the
     * cosine is rounded before the argmax so an ULP of cross-engine
     * divergence can't flip an assignment.
+    *
+    * MAP-ONLY: the centroid table is collapsed to ONE array row
+    * (sorted by centroid_id) and broadcast, and the argmax runs inside
+    * a projection over that array — no crossJoin row expansion and,
+    * critically, no row_number window, whose required shuffle would
+    * move n×C rows EACH CARRYING THE FULL VECTOR (at C ∝ n that is a
+    * quadratic, vector-payload exchange — the scale wall this shape
+    * avoids). Ties break to the lowest centroid_id (`array_position`
+    * returns the FIRST max, and the array is id-sorted), identical to
+    * the former window's (cos DESC, centroid_id ASC) order; cosines
+    * round to `roundTo` first, so assignments — and every oracle that
+    * replays them (q54/q122/q124) — are bit-stable across engines and
+    * across this plan change (pinned in SimilaritySpec).
     */
   private def assignToCentroid(rows: DataFrame, centroids: DataFrame,
                                vecCol: String, roundTo: Int = 9): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val joined = rows.crossJoin(broadcast(centroids))
-      .withColumn("d", round(cosine(col(vecCol), col("centroid")), roundTo))
-    val w = Window.partitionBy(col("cid"))
-      .orderBy(col("d").desc, col("centroid_id"))
-    joined.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "d", "centroid")
+    val cArr = centroids.agg(
+      array_sort(collect_list(struct(col("centroid_id"), col("centroid"),
+        l2Norm(col("centroid")).as("cnrm")))).as("cs"))
+    rows.crossJoin(broadcast(cArr))
+      .withColumn("nv", l2Norm(col(vecCol)))
+      .withColumn("ds", transform(col("cs"), c =>
+        round(dot(col(vecCol), c.getField("centroid")) /
+          (col("nv") * c.getField("cnrm")), roundTo)))
+      .withColumn("centroid_id",
+        element_at(col("cs"),
+          array_position(col("ds"), array_max(col("ds"))).cast("int"))
+          .getField("centroid_id"))
+      .drop("cs", "nv", "ds")
   }
 
   /** IVF (inverted-file) approximate top-k: the corpus is partitioned
@@ -407,6 +425,97 @@ object Similarity {
       .select(col("query_id"), col("item_id").as("neighbor_id"),
         col("list_id").cast("long").as("centroid_id"),
         col("cos"), col("rank"))
+  }
+
+  /** INDEXED capped pair mining — [[cosineTopKBlocked]]'s scale form,
+    * blocking on a materialized IVF layout ([[writeIvfIndex]]) instead
+    * of sign buckets. Candidates are the SYMMETRIC CLOSURE of "the
+    * `nprobe` lists nearest each doc's own list" (a C×C centroid
+    * adjacency, computed once and broadcast — zero per-doc centroid
+    * scans): a pair is scored once if either doc's list probes the
+    * other's, then both directions rank through the same BoundedTopK
+    * partial-heap as the blocked variant (top-`k` per doc, floor
+    * `threshold`).
+    *
+    * Why this beats sign buckets at scale: candidate volume here is
+    * n × nprobe × listSize BY CONSTRUCTION — density-independent —
+    * because every doc scores exactly its probed lists, however
+    * clustered the corpus. Sign buckets concentrate a clustered
+    * corpus into few hot buckets (axis-aligned projections can't
+    * follow the data), so Σ bucket² grows superlinearly even with the
+    * [[BlockDials.signBits]] resolution dial (measured exponent 1.27
+    * at sf1→sf10, candidate exponent 1.70 — PLANS.md round 16/17).
+    * With [[BlockDials.ivfLists]] scaling C ∝ n, listSize stays
+    * ~constant and the mining pass is Θ(n). The recall trade: a true
+    * neighbor outside the doc's `nprobe` adjacent lists is missed —
+    * measured against ground truth in AbTopKIndexed (PLANS.md).
+    *
+    * Skew: list sizes are k-means-balanced, not guaranteed-bounded; a
+    * genuinely hot list splits under AQE skew-join handling (the probe
+    * join is a plain shuffle join on list id, not a self-join needing
+    * salting).
+    *
+    * Determinism: the adjacency ranks by rounded centroid-pair cosine
+    * (ties by probe list id), pair scores round to `roundTo` before
+    * ranking, ranking ties break by neighbor id — a total order any
+    * engine replays (q124's oracle).
+    */
+  def cosineTopKIndexed(index: DataFrame, centroids: DataFrame,
+                        k: Int, threshold: Double, nprobe: Int,
+                        roundTo: Int = 9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val cA = centroids.select(col("centroid_id").as("list_id"),
+      col("centroid").as("av"))
+    val cB = centroids.select(col("centroid_id").as("probe_list"),
+      col("centroid").as("bv"))
+    val wadj = Window.partitionBy(col("list_id"))
+      .orderBy(col("d").desc, col("probe_list"))
+    val adj = cA.crossJoin(cB)
+      .withColumn("d", round(cosine(col("av"), col("bv")), roundTo))
+      .withColumn("rn", row_number().over(wadj))
+      .filter(col("rn") <= nprobe)
+      .select(col("list_id"), col("probe_list"))
+    // symmetric closure as UNORDERED list pairs: a pair of lists is
+    // scored once if EITHER list probes the other. Halves the dot
+    // products vs directed probing (each candidate pair scored once,
+    // both directions emitted by a 2-element explode — the
+    // cosineTopKBlocked trick) and is a recall superset of directed
+    // probing (a finds b even when only b's list probes a's).
+    val lp = adj
+      .select(least(col("list_id"), col("probe_list")).as("la"),
+        greatest(col("list_id"), col("probe_list")).as("lb"))
+      .distinct()
+    val a = index.select(col("item_id").as("aid"), col("cv").as("av"),
+      col("cn").as("an"), col("list_id").as("la"))
+    val b = index.select(col("item_id").as("bid"), col("cv").as("bv"),
+      col("cn").as("bn"), col("list_id").as("lb"))
+    // the only exchange in the mining pass: both sides hash on the
+    // probed-list key (a expanded ×|sym adjacency| by the broadcast
+    // pair table first)
+    val scored = a.join(broadcast(lp), Seq("la"))
+      .join(b, Seq("lb"))
+      // same-list pairs appear in both (a,b) and (b,a) order — keep
+      // i<j once; cross-list pairs appear exactly once already
+      .filter(col("la") =!= col("lb") || col("aid") < col("bid"))
+      .withColumn("cos",
+        round(dot(col("av"), col("bv")) / (col("an") * col("bn")),
+          roundTo))
+      .filter(col("cos") >= threshold)
+      .select(col("aid"), col("bid"), col("cos"))
+    val directed = scored
+      .select(explode(array(
+        struct(col("aid").as("doc_id"), col("bid").as("neighbor_id"),
+          col("cos")),
+        struct(col("bid").as("doc_id"), col("aid").as("neighbor_id"),
+          col("cos")))).as("d"))
+      .select(col("d.doc_id").as("doc_id"),
+        col("d.neighbor_id").as("neighbor_id"), col("d.cos").as("cos"))
+    directed.groupBy(col("doc_id"))
+      .agg(boundedTopK(col("cos"), col("neighbor_id"), k).as("tk"))
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("p", "e")))
+      .select(col("doc_id"), col("e.id").as("neighbor_id"),
+        col("e.score").as("cos"), (col("p") + 1).cast("int").as("rank"))
   }
 
   /** Blocked near-dup pairs fed STRAIGHT into connected components:

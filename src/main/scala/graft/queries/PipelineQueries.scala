@@ -33,6 +33,31 @@ object PipelineQueries extends Catalog {
   private val Rows = NumHashes / Bands
   private val PipeBudget = 8000L
 
+  /** Budget dial, exposed for the sf10 property gate (ScaleProps
+    * asserts the composed output respects it at 100×).
+    */
+  private[graft] def pipeBudget: Long = PipeBudget
+
+  /** Stages 1–3 input — the post-quality, post-exact-dedup pool and
+    * its LSH candidate pairs — factored out so the sf10 property gate
+    * cross-checks the CC decision on the SAME inputs the composed
+    * query feeds it (not a re-derivation that could drift).
+    */
+  private[graft] def poolAndPairs(s: org.apache.spark.sql.SparkSession,
+                                  dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = Tables.load(s, dir, "documents")
+    // stage 1 — quality gate: map-side mask on the scan
+    val clean = docs.filter(qualityMask(col("text")) === 0)
+    // stage 2 — exact dedup, first (lowest doc_id) wins
+    val exactKeep = Dedup.exact(clean, col("doc_id"), md5(col("text")))
+      .select(col("keep_id").as("doc_id"))
+    val pool = clean.join(exactKeep, Seq("doc_id"), "left_semi")
+    val pairs = Dedup.minhashCandidates(
+      pool, col("doc_id"), col("text"), NumHashes, Bands)
+    (pool, pairs)
+  }
+
   private val ws = TextFunctions.wsClass
   private val duckToks = s"regexp_split_to_array(trim(text), '$ws+')"
   private val duckToksLower =
@@ -97,17 +122,11 @@ object PipelineQueries extends Catalog {
 
     Q("q123_curation_pipeline",
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
-        // stage 1 — quality gate: map-side mask on the scan
-        val clean = docs.filter(qualityMask(col("text")) === 0)
-        // stage 2 — exact dedup, first (lowest doc_id) wins
-        val exactKeep = Dedup.exact(clean, col("doc_id"), md5(col("text")))
-          .select(col("keep_id").as("doc_id"))
-        val pool = clean.join(exactKeep, Seq("doc_id"), "left_semi")
+        // stages 1–2 (quality gate, exact dedup) + the LSH candidate
+        // pairs: poolAndPairs, shared with the sf10 property gate
+        val (pool, pairs) = poolAndPairs(s, dir)
         // stage 3 — near-dup DECISION: LSH candidates into
         // star-contraction CC; only component minima survive
-        val pairs = Dedup.minhashCandidates(
-          pool, col("doc_id"), col("text"), NumHashes, Bands)
         val survivorIds = Dedup.connectedComponentsStar(
             pool, col("doc_id"), pairs, col("doc_a"), col("doc_b"))
           .filter(col("v") === col("component"))

@@ -16,6 +16,11 @@ object SimilarityQueries extends Catalog {
   private val K = 5
   private val NBits = 4
 
+  /** (k, threshold) the capped miners q120/q124 run at — exposed so
+    * the sf10 property gate asserts against the same dials.
+    */
+  private[graft] def topKDials: (Int, Double) = (K, 0.45)
+
   private val duckE =
     "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
   private def duckCos(a: String, b: String): String =
@@ -104,6 +109,79 @@ object SimilarityQueries extends Catalog {
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
   private val duckIvf: String = duckIvfFor("vec_id < 10")
+
+  /** Temp-dir tag derived from the input dir: concurrent gates (sf1 vs
+    * sf10, two sessions on one host) must never share an index path.
+    */
+  private def dirTag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .take(12)
+
+  // --- q124 oracle: sample-trained k-means (2 Lloyd steps over the
+  // 50·C lowest-id vectors), full-corpus assignment, C×C centroid
+  // adjacency, then the indexed top-k mining — the IVF list-count
+  // dial (GREATEST(4, CEIL(n/500))) and sample-size derivation are
+  // pure integer SQL, so the hash gate covers the dials too.
+  private val duckTopKIndexed: String = {
+    val cexpr = "GREATEST(4, CAST(CEIL(COUNT(*) / 500.0) AS BIGINT))"
+    s"""WITH e AS ($duckE),
+       |params AS (
+       |  SELECT $cexpr AS c, LEAST(COUNT(*), 50 * $cexpr) AS s
+       |  FROM embeddings),
+       |sample AS (
+       |  SELECT vec_id, v FROM (
+       |    SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
+       |    FROM e) t
+       |  WHERE rn <= (SELECT s FROM params)),
+       |c0 AS (
+       |  SELECT centroid_id, centroid FROM (
+       |    SELECT vec_id AS centroid_id, v AS centroid,
+       |      row_number() OVER (ORDER BY vec_id) AS rn FROM sample) t
+       |  WHERE rn <= (SELECT c FROM params)),
+       |${duckAssign("sample", "c0", "a1")},
+       |${duckMeans("a1", "c1")},
+       |${duckAssign("sample", "c1", "a2")},
+       |${duckMeans("a2", "c2")},
+       |af AS (
+       |  SELECT cid AS item_id, v AS cv, centroid_id AS list_id FROM (
+       |    SELECT e.vec_id AS cid, e.v AS v, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckRoundCos("e.v", "c.centroid")} DESC,
+       |                 c.centroid_id) AS rn
+       |    FROM e CROSS JOIN c2 c) t
+       |  WHERE rn = 1),
+       |adj AS (
+       |  SELECT list_id, probe_list FROM (
+       |    SELECT a.centroid_id AS list_id, b.centroid_id AS probe_list,
+       |      row_number() OVER (PARTITION BY a.centroid_id
+       |        ORDER BY ${duckRoundCos("a.centroid", "b.centroid")} DESC,
+       |                 b.centroid_id) AS rn
+       |    FROM c2 a CROSS JOIN c2 b) t
+       |  WHERE rn <= 2),
+       |lp AS (
+       |  SELECT DISTINCT LEAST(list_id, probe_list) AS la,
+       |                  GREATEST(list_id, probe_list) AS lb
+       |  FROM adj),
+       |qual AS (
+       |  SELECT a.item_id AS id_a, b.item_id AS id_b,
+       |    ${duckRoundCos("a.cv", "b.cv")} AS cos
+       |  FROM af a JOIN lp ON a.list_id = lp.la
+       |            JOIN af b ON b.list_id = lp.lb
+       |  WHERE (lp.la <> lp.lb OR a.item_id < b.item_id)
+       |    AND ${duckRoundCos("a.cv", "b.cv")} >= 0.45),
+       |directed AS (
+       |  SELECT id_a AS doc_id, id_b AS neighbor_id, cos FROM qual
+       |  UNION ALL
+       |  SELECT id_b, id_a, cos FROM qual),
+       |ranked AS (
+       |  SELECT doc_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM directed)
+       |SELECT doc_id, neighbor_id, cos, rank FROM ranked
+       |WHERE rank <= $K ORDER BY doc_id, rank""".stripMargin
+  }
 
   override val queries: Seq[Q] = Seq(
 
@@ -405,6 +483,33 @@ object SimilarityQueries extends Catalog {
       bench = false), // iterative fixpoint (like q47/q103): rounds ×
                       // job-launch floor is scheduling noise at bench
                       // scale; its scale evidence is the sf10 gate
+
+    // INDEXED capped mining — q120's scale form: blocking on a
+    // sample-trained, materialized IVF layout instead of sign
+    // buckets, so candidate volume is n·nprobe·listSize BY
+    // CONSTRUCTION (density-independent; C = GREATEST(4, n/500)
+    // lists via BlockDials.ivfLists). Build (train + assign + write)
+    // happens in-query here so the hash gate covers the whole
+    // derivation; the build-vs-mine split and the recall-vs-q120
+    // trade are measured in AbTopKIndexed (PLANS.md).
+    Q("q124_cosine_topk_indexed",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val n = e.count()
+        val c = BlockDials.ivfLists(n)
+        val smp = math.min(n, 50L * c).toInt
+        val sample = e.orderBy(col("vec_id")).limit(smp)
+        val centroids = Similarity.trainCentroids(
+          sample, "vec_id", "embedding", k = c, iters = 2)
+        val path = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_q124_ivf_topk_${dirTag(dir)}").getAbsolutePath
+        Similarity.writeIvfIndex(e, "vec_id", "embedding", centroids, path)
+        Similarity.cosineTopKIndexed(
+            Similarity.readIvfIndex(s, path), centroids,
+            k = K, threshold = 0.45, nprobe = 2)
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some(duckTopKIndexed)),
 
     Q("q53_vector_stats",
       (s, dir) => Tables.load(s, dir, "embeddings")

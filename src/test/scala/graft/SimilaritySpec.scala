@@ -140,6 +140,79 @@ class SimilaritySpec extends SparkSpec {
     assert(probed.count() > 0)
   }
 
+  test("map-only centroid assignment == row_number window argmax") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions._
+    val e = Tables.load(spark, dir, "embeddings")
+    val centroids = Similarity.trainCentroids(e, "vec_id", "embedding", 8, 2)
+    // reference: the explicit crossJoin + (cos DESC, id ASC) window
+    // argmax the map-only array form replaced — values must be
+    // identical or every IVF oracle (q54/q122/q124) silently shifts
+    val v = e.select($"vec_id".as("cid"), toDoubles($"embedding").as("v"))
+    val joined = v.crossJoin(broadcast(centroids))
+      .withColumn("d", round(cosine($"v", $"centroid"), 9))
+    val w = Window.partitionBy($"cid").orderBy($"d".desc, $"centroid_id")
+    val ref = joined.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).select($"cid", $"centroid_id")
+      .as[(Long, Long)].collect().toMap
+    // the operator's assignment is observable through the index layout
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_spec_assign_flat").getAbsolutePath
+    Similarity.writeIvfIndex(e, "vec_id", "embedding", centroids, path)
+    val got = spark.read.parquet(path)
+      .select($"item_id", $"list_id".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == ref)
+  }
+
+  test("cosineTopKIndexed == window prefix of the probed-list pair set") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.{cosine, dot}
+    val e = Tables.load(spark, dir, "embeddings")
+    val centroids = Similarity.trainCentroids(e, "vec_id", "embedding", 4, 2)
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_spec_topk_idx").getAbsolutePath
+    Similarity.writeIvfIndex(e, "vec_id", "embedding", centroids, path)
+    val index = Similarity.readIvfIndex(spark, path)
+    val (k, t, nprobe) = (3, 0.3, 2)
+    val got = Similarity.cosineTopKIndexed(index, centroids, k, t, nprobe)
+    // reference: adjacency via a window over centroid pairs,
+    // symmetric-closure unordered list pairs, plain joins, explicit
+    // UNION of both directions, row_number ranking — the shape the
+    // broadcast pair table + 2-explode + BoundedTopK replace
+    val cc = centroids.select($"centroid_id", $"centroid")
+    val wa = Window.partitionBy($"a.centroid_id")
+      .orderBy($"d".desc, $"b.centroid_id")
+    val lp = cc.as("a").crossJoin(cc.as("b"))
+      .withColumn("d", round(cosine($"a.centroid", $"b.centroid"), 9))
+      .withColumn("rn", row_number().over(wa))
+      .filter($"rn" <= nprobe)
+      .select(least($"a.centroid_id", $"b.centroid_id").as("la"),
+        greatest($"a.centroid_id", $"b.centroid_id").as("lb"))
+      .distinct()
+    val aSide = index.select($"item_id".as("aid"), $"cv".as("avec"),
+      $"cn".as("an"), $"list_id".as("la"))
+    val bSide = index.select($"item_id".as("bid"), $"cv".as("bvec"),
+      $"cn".as("bn"), $"list_id".as("lb"))
+    val qual = aSide.join(lp, Seq("la")).join(bSide, Seq("lb"))
+      .filter($"la" =!= $"lb" || $"aid" < $"bid")
+      .withColumn("cos", round(dot($"avec", $"bvec") / ($"an" * $"bn"), 9))
+      .filter($"cos" >= t)
+    val directed = qual
+      .select($"aid".as("doc_id"), $"bid".as("neighbor_id"), $"cos")
+      .union(qual
+        .select($"bid".as("doc_id"), $"aid".as("neighbor_id"), $"cos"))
+    val wr = Window.partitionBy($"doc_id").orderBy($"cos".desc, $"neighbor_id")
+    val ref = directed.withColumn("rank", row_number().over(wr))
+      .filter($"rank" <= k)
+      .select($"doc_id", $"neighbor_id", $"cos", $"rank".cast("int"))
+    assert(got.collect().toSet == ref.collect().toSet)
+    assert(got.count() > 0)
+    // capped: never more than k rows per doc
+    val overCap = got.groupBy($"doc_id").count().filter($"count" > k)
+    assert(overCap.isEmpty)
+  }
+
   test("nearDupComponents == min-label CC over the blocked pair set") {
     val e = Tables.load(spark, dir, "embeddings")
     val (t, nbits) = (0.3, 2)

@@ -9,10 +9,22 @@ stdout for the BASELINE.md tables. Dev tool; pair with
 `sbt "runMain graft.Bench"` for the Spark side.
 
 Usage: bench_baseline.py <sfDir> <verifyOutDir> [threads] [runs] [jsonOut]
+
+Env:
+  BASELINE_TIMEOUT_S  per-execution budget (duckdb interrupt; a query
+                      whose WARM run blows it is reported as a timeout
+                      and excluded from the total — the declared
+                      "unbenched anchor" treatment, made automatic).
+                      Default 600.
+  BASELINE_SKIP       comma-separated query names to skip outright
+                      (known-infeasible at this sf — saves burning the
+                      timeout on each).
 """
 import json
+import os
 import statistics
 import sys
+import threading
 import time
 
 import duckdb
@@ -32,21 +44,45 @@ def main(sf_dir, out_dir, threads=16, runs=5, json_out=None):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{src}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    budget = float(os.environ.get("BASELINE_TIMEOUT_S", "600"))
+    skip = set(filter(None,
+                      os.environ.get("BASELINE_SKIP", "").split(",")))
     times = {}
-    for name in sorted(oracle):
+    skipped = sorted(skip & set(oracle))
+    timed_out = []
+
+    def run_budgeted(sql):
+        timer = threading.Timer(budget, con.interrupt)
+        timer.start()
         try:
-            con.execute(oracle[name]).fetchall()  # warm
+            con.execute(sql).fetchall()
+        finally:
+            timer.cancel()
+
+    for name in sorted(oracle):
+        if name in skip:
+            print(f"{name}: SKIPPED (BASELINE_SKIP)", file=sys.stderr)
+            continue
+        try:
+            run_budgeted(oracle[name])  # warm
             timed = []
             for _ in range(runs):
                 t0 = time.time()
-                con.execute(oracle[name]).fetchall()
+                run_budgeted(oracle[name])
                 timed.append(time.time() - t0)
             timed.sort()
             times[name] = {"min": timed[0],
                            "med": statistics.median(timed),
                            "max": timed[-1]}
+        except duckdb.InterruptException:
+            timed_out.append(name)
+            print(f"{name}: TIMEOUT (> {budget:g}s)", file=sys.stderr)
         except Exception as e:
-            print(f"{name}: ERROR {e}", file=sys.stderr)
+            if "INTERRUPT" in str(e).upper():
+                timed_out.append(name)
+                print(f"{name}: TIMEOUT (> {budget:g}s)", file=sys.stderr)
+            else:
+                print(f"{name}: ERROR {e}", file=sys.stderr)
     for name, t in sorted(times.items()):
         print(f"{t['med']:8.3f}  {name}")
     total = sum(t["med"] for t in times.values())
@@ -55,6 +91,9 @@ def main(sf_dir, out_dir, threads=16, runs=5, json_out=None):
     if json_out:
         body = {"sf": sf_dir, "threads": threads, "runs": runs,
                 "total_med": round(total, 3),
+                "timeout_s": budget,
+                "timed_out": timed_out,
+                "skipped": skipped,
                 "queries": {k: {s: round(v, 3) for s, v in t.items()}
                             for k, t in times.items()}}
         with open(json_out, "w") as f:

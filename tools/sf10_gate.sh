@@ -47,7 +47,12 @@ FAMILY+="q93_merge_upsert,q120_cosine_topk,q121_near_dup_components,"
 # q122's oracle replays q54's unrolled k-means over the full corpus —
 # expect a timeout→spark_only row at sf10; its completion at 100×
 # (index build + DPP probe) is the point
-FAMILY+="q122_ann_ivf_probe"
+FAMILY+="q122_ann_ivf_probe,"
+# round 17: the composed pipeline and the indexed capped miner — both
+# oracles are recursive-CTE/full-assignment replays that may time out
+# at sf10 (degrading to spark_only rows); their 100× laws live in
+# ScaleProps (budget bound, CC cross-impl equality, sampled re-score)
+FAMILY+="q123_curation_pipeline,q124_cosine_topk_indexed"
 OUT=/tmp/verify_sf10
 SPARK_GRAFT_VERIFY_ONLY="$FAMILY" SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Verify testdata/sf10 $OUT" >/dev/null
