@@ -26,6 +26,7 @@ object AbTopKIndexed {
     val dir = args.headOption.getOrElse("/root/repo/testdata/sf1")
     val reps = if (args.length > 1) args(1).toInt else 3
     val withTruth = if (args.length > 2) args(2).toInt == 1 else true
+    val nprobe = if (args.length > 3) args(3).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -81,7 +82,7 @@ object AbTopKIndexed {
     val tWrite = (System.nanoTime() - t1) / 1e9
     val index = Similarity.readIvfIndex(spark, idxPath)
     def armB() = Similarity.cosineTopKIndexed(
-      index, centroids, K, T, nprobe = 2)
+      index, centroids, K, T, nprobe = nprobe)
     val (_, tB) = time(() => checksum(armB()))
     // candidate volume: Σ over the operator's symmetric-closure
     // UNORDERED list pairs of |la|×|lb| (same-list pairs count
@@ -94,7 +95,7 @@ object AbTopKIndexed {
     val lp = cc.as("a").crossJoin(cc.as("b"))
       .withColumn("d", round(cosine(col("a.centroid"), col("b.centroid")), 9))
       .withColumn("rn", row_number().over(wadj))
-      .filter(col("rn") <= 2)
+      .filter(col("rn") <= nprobe)
       .select(least(col("a.centroid_id"), col("b.centroid_id")).as("la"),
         greatest(col("a.centroid_id"), col("b.centroid_id")).as("lb"))
       .distinct()
@@ -134,7 +135,7 @@ object AbTopKIndexed {
     println(f"""{"ab":"topk_indexed","sf":"$dir","n":$n,"reps":$reps,""" +
       f""""blocked":{"sec":$tA%.3f,"rows":${pairsA.size},"cands":$candA,"nbits":$nb},""" +
       f""""indexed":{"train_sec":$tTrain%.3f,"write_sec":$tWrite%.3f,"mine_sec":$tB%.3f,""" +
-      f""""rows":${pairsB.size},"cands":$candB,"lists":$c,"sample":$smp},""" +
+      f""""rows":${pairsB.size},"cands":$candB,"lists":$c,"nprobe":$nprobe,"sample":$smp},""" +
       s"""$recallJson}""")
     spark.stop()
   }

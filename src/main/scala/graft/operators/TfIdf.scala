@@ -17,17 +17,22 @@ import graft.functions.TextFunctions.tokens
   * gate. Monotone in the usual `ln`-idf, so top-k per doc is the same
   * ranking a log formulation gives when df ordering decides.
   *
-  * Scale: one explode + (doc,len,term) shuffle for the term counts;
-  * the document-frequency table is VOCABULARY-sized and broadcast
-  * back — the corpus is never shuffled on anything but its own keys.
-  * The document length is `size(tokens)` carried from the SCAN
-  * through the count aggregate (len is constant per doc, so adding
-  * it to the grouping key changes no group) — a `sum(cnt) over
-  * (partition by doc_id)` window would be a second full-corpus
-  * exchange just to recompute a number the tokenizer already knew.
-  * The only other exchange is the top-k window's, and Spark's
-  * WindowGroupLimit prunes it to k candidates per doc per input
-  * partition before the shuffle.
+  * Scale: one explode + (doc,term) shuffle for the term counts; the
+  * document-frequency table is VOCABULARY-sized and broadcast back —
+  * the corpus is never shuffled on anything but its own keys. The
+  * document length is `sum(cnt) OVER (PARTITION BY doc_id)`: this
+  * window is NOT an extra exchange, because its doc_id partitioning
+  * is exactly what the final rank window requires, so the one
+  * doc-keyed exchange serves both (the executed plan shows the rank
+  * window consuming the len window's sort order directly). Round 16
+  * briefly "optimized" the len window away by carrying `size(toks)`
+  * through a (doc, len, term) aggregate — a plan-reading argument
+  * that MEASUREMENT reversed: the carried form re-introduces a
+  * second doc-keyed exchange (plus a per-partition top-k pre-sort of
+  * the whole tf table) for the rank window, and was 1.3×/2.0× slower
+  * at sf0.1/sf1 with no sf10 win (AbQ69; PLANS.md round 17 — the r16
+  * sf10 "improvement" came from the ObjectHashAggregate threshold
+  * fix landed the same round, not from this rewrite).
   */
 object TfIdf {
 
@@ -35,14 +40,14 @@ object TfIdf {
   def topTerms(docs: DataFrame, id: Column, text: Column, k: Int,
                roundTo: Int = 9): DataFrame = {
     val toks = docs
-      .select(id.as("doc_id"), tokens(text).as("toks"))
-      .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
-        explode(col("toks")).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("len"), col("term"))
+      .select(id.as("doc_id"), explode(tokens(text)).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("cnt"))
+    val tfLen = tf.withColumn("len",
+      sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
     val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf
+    val scored = tfLen
       .join(broadcast(dfTbl), Seq("term"))
       .crossJoin(broadcast(nDocs))
       // (cnt/len) * (n/df) in exactly this association — mirrored in
