@@ -172,18 +172,26 @@ class PlansSpec extends SparkSpec {
       s"salted pair-scan repartition no longer user-pinned:\n$p")
   }
 
-  test("q69: doc length rides the count agg — one window remains") {
+  test("q69: two windows share ONE doc-keyed exchange") {
     val p = plan("q69_tfidf_topterms")
-    // round 16: len = size(tokens) is carried from the scan through
-    // the (doc_id, len, term) count aggregate. A second Window node
-    // means the sum(cnt)-over-doc_id length window (a full-corpus
-    // exchange that recomputes what the tokenizer knew) crept back.
+    // Round 17 (reverting round 16): the len window is BACK, by
+    // measurement — its doc_id exchange is exactly the partitioning
+    // the rank window requires, so one doc-keyed shuffle serves both
+    // (the r16 "carried-len" form that removed it re-introduced a
+    // doc-keyed exchange + a WindowGroupLimit pre-sort over the whole
+    // tf table and measured slower at sf0.1/sf1/sf10 — AbQ69,
+    // PLANS.md round 17). The pin: both windows present, but NO
+    // second doc_id hash exchange between them.
     val windows = countNodes(p, "Window")
-    assert(windows == 1, s"expected only the top-k window, got $windows:\n$p")
-    // the surviving top-k window prunes to k candidates per doc per
-    // input partition before its exchange
-    assert(p.contains("WindowGroupLimit"),
-      s"top-k window lost its partial group limit:\n$p")
+    assert(windows == 2, s"expected len + rank windows, got $windows:\n$p")
+    // doc_id-ONLY hash partitioning (the window requirement) — the
+    // (doc_id, term) aggregate exchange is a different key and fine
+    val docIdHashExchanges =
+      """Exchange hashpartitioning\(doc_id#\d+L?, \d+\)""".r
+        .findAllIn(p.split("== Initial Plan ==")(0)).size
+    assert(docIdHashExchanges == 1,
+      s"the two windows must share one doc-keyed exchange, " +
+        s"got $docIdHashExchanges:\n$p")
     // df table and n_docs enrich via broadcast — the corpus never
     // shuffles on the term key
     assert(!p.contains("SortMergeJoin"),
