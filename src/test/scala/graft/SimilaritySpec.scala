@@ -213,6 +213,36 @@ class SimilaritySpec extends SparkSpec {
     assert(overCap.isEmpty)
   }
 
+  test("cosineTopKIndexed edges: nprobe=1 stays in-list; huge k caps at m") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val centroids = Similarity.trainCentroids(e, "vec_id", "embedding", 4, 2)
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_spec_topk_idx_edge").getAbsolutePath
+    Similarity.writeIvfIndex(e, "vec_id", "embedding", centroids, path)
+    val index = Similarity.readIvfIndex(spark, path)
+    // nprobe=1: a list's nearest list is itself (cos=1 beats every
+    // other rounded cosine; ties break to the lower id, and the self
+    // pair is always present), so every neighbor must share the
+    // doc's own list
+    val got1 = Similarity.cosineTopKIndexed(index, centroids,
+      k = 3, threshold = 0.0, nprobe = 1)
+    val lists = index.select($"item_id", $"list_id".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val crossList = got1.select($"doc_id", $"neighbor_id")
+      .as[(Long, Long)].collect()
+      .filter { case (d, n) => lists(d) != lists(n) }
+    assert(crossList.isEmpty, s"nprobe=1 leaked across lists: ${crossList.take(3).toSeq}")
+    // k far above the candidate count: output caps at the available
+    // qualifying neighbors, ranks stay contiguous from 1
+    val gotBig = Similarity.cosineTopKIndexed(index, centroids,
+      k = 10000, threshold = 0.0, nprobe = 2)
+    val perDoc = gotBig.groupBy($"doc_id")
+      .agg(count(lit(1)).as("c"), max($"rank").as("mr"))
+      .filter($"c" =!= $"mr").count()
+    assert(perDoc == 0, "ranks not contiguous under oversized k")
+    assert(gotBig.count() > 0)
+  }
+
   test("nearDupComponents == min-label CC over the blocked pair set") {
     val e = Tables.load(spark, dir, "embeddings")
     val (t, nbits) = (0.3, 2)
