@@ -202,9 +202,16 @@ object Similarity {
         l2Norm(col("centroid")).as("cnrm")))).as("cs"))
     rows.crossJoin(broadcast(cArr))
       .withColumn("nv", l2Norm(col(vecCol)))
+      // a zero-norm row (or a degenerate all-zero centroid) makes the
+      // divisor 0: under ANSI (Spark 4 default) a plain Divide KILLS
+      // the whole assignment job, and under legacy mode it yields NULL,
+      // poisoning array_max/array_position below so the row SILENTLY
+      // DROPS from the index (null centroid_id). try_divide + coalesce
+      // to -1.0 — below any real cosine — lands such rows
+      // deterministically on the lowest-id centroid instead.
       .withColumn("ds", transform(col("cs"), c =>
-        round(dot(col(vecCol), c.getField("centroid")) /
-          (col("nv") * c.getField("cnrm")), roundTo)))
+        coalesce(round(try_divide(dot(col(vecCol), c.getField("centroid")),
+          col("nv") * c.getField("cnrm")), roundTo), lit(-1.0))))
       .withColumn("centroid_id",
         element_at(col("cs"),
           array_position(col("ds"), array_max(col("ds"))).cast("int"))
@@ -476,6 +483,14 @@ object Similarity {
       .withColumn("rn", row_number().over(wadj))
       .filter(col("rn") <= nprobe)
       .select(col("list_id"), col("probe_list"))
+      // a list must ALWAYS probe itself: if training produced two
+      // (rounded-)identical centroids, the d-then-id tiebreak can rank
+      // the twin ABOVE the self pair and, at nprobe=1, drop it — the
+      // affected list's members would then never be scored against
+      // each other (green gates, silent recall hole). The union is
+      // id-deduped by the `lp` distinct below.
+      .union(centroids.select(col("centroid_id").as("list_id"),
+        col("centroid_id").as("probe_list")))
     // symmetric closure as UNORDERED list pairs: a pair of lists is
     // scored once if EITHER list probes the other. Halves the dot
     // products vs directed probing (each candidate pair scored once,

@@ -158,7 +158,9 @@ object SimilarityQueries extends Catalog {
        |        ORDER BY ${duckRoundCos("a.centroid", "b.centroid")} DESC,
        |                 b.centroid_id) AS rn
        |    FROM c2 a CROSS JOIN c2 b) t
-       |  WHERE rn <= 2),
+       |  WHERE rn <= 2
+       |  UNION
+       |  SELECT centroid_id, centroid_id FROM c2),
        |lp AS (
        |  SELECT DISTINCT LEAST(list_id, probe_list) AS la,
        |                  GREATEST(list_id, probe_list) AS lb

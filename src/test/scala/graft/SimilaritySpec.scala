@@ -243,6 +243,50 @@ class SimilaritySpec extends SparkSpec {
     assert(gotBig.count() > 0)
   }
 
+  test("zero-norm vectors keep a deterministic assignment (not a NULL drop)") {
+    // Divide-by-zero in the assignment cosine yields NULL in Spark;
+    // before the coalesce fix the NULL poisoned array_max/array_position
+    // and the row silently VANISHED from the index (the oracle mirrored
+    // the drop, so hash gates never saw it). Contract now: a zero-norm
+    // row lands on the lowest-id centroid.
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val centroids = Seq((10L, Seq(1.0, 0.0)), (20L, Seq(0.0, 1.0)))
+      .toDF("centroid_id", "centroid")
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_spec_zero_norm").getAbsolutePath
+    Similarity.writeIvfIndex(corpus, "vec_id", "embedding", centroids, path)
+    val idx = spark.read.parquet(path)
+      .select($"item_id", $"list_id".cast("long")).as[(Long, Long)]
+      .collect().toMap
+    assert(idx.size == 3, s"zero-norm row dropped from the index: $idx")
+    assert(idx(3L) == 10L, s"zero-norm row not on the lowest-id centroid: $idx")
+    assert(idx(1L) == 10L && idx(2L) == 20L)
+  }
+
+  test("identical centroids still score their own list (self-probe kept)") {
+    // Two rounded-identical centroids tie at cosine 1.0 and the
+    // (d DESC, probe_list ASC) tiebreak ranks the TWIN above the self
+    // pair; at nprobe=1 the self pair fell out of the adjacency and an
+    // affected list's members were never scored against each other.
+    // The unconditional self-union closes that hole. List 0 is left
+    // EMPTY so the twin adjacency alone can produce no pairs.
+    import graft.functions.VectorFunctions.l2Norm
+    val centroids = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0)))
+      .toDF("centroid_id", "centroid")
+    val index = Seq(
+      (101L, Seq(1.0, 0.1), 1L), (102L, Seq(1.0, 0.2), 1L))
+      .toDF("item_id", "cv", "list_id")
+      .withColumn("cn", l2Norm($"cv"))
+    val got = Similarity.cosineTopKIndexed(index, centroids,
+      k = 3, threshold = 0.0, nprobe = 1)
+    val pairs = got.select($"doc_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((101L, 102L), (102L, 101L)),
+      s"self-probe lost on identical centroids: $pairs")
+  }
+
   test("nearDupComponents == min-label CC over the blocked pair set") {
     val e = Tables.load(spark, dir, "embeddings")
     val (t, nbits) = (0.3, 2)
