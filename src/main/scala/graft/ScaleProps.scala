@@ -260,7 +260,30 @@ object ScaleProps {
       ("q124_cosine_topk_indexed", all)
     }
 
-    val results = Seq(r45, r57, rCc, rNd, rPipeCc, rPipe, r124)
+    // ---- q125: INDEXED near-dup components — the dedup decision
+    // path (its recursive-CTE oracle can't finish at sf10). Same CC
+    // laws as q121, over the indexed qualifying pair set at the
+    // exact production dials (size-derived lists, sampled training,
+    // nprobe=2, t=0.45); the recall floor itself is RecallSpec's law.
+    val rNdIdx = {
+      val nE = emb.count()
+      val c = BlockDials.ivfLists(nE)
+      val smp = math.min(nE, 50L * c).toInt
+      val centroids = Similarity.trainCentroids(
+        emb.orderBy(col("vec_id")).limit(smp), "vec_id", "embedding",
+        k = c, iters = 2)
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_props_q125_idx").getAbsolutePath
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", centroids, path)
+      val index = Similarity.readIvfIndex(spark, path)
+      val pairs = Similarity.indexedQualifyingPairs(
+        index, centroids, threshold = 0.45, nprobe = 2)
+      checkComponents("q125_near_dup_indexed", emb, "vec_id",
+        pairs.select(col("aid"), col("bid")), "aid", "bid",
+        contract = true)
+    }
+
+    val results = Seq(r45, r57, rCc, rNd, rPipeCc, rPipe, r124, rNdIdx)
     val json = results.map { case (name, m) =>
       val fields = m.map {
         case (k, v: Boolean) => s""""$k": $v"""

@@ -434,42 +434,19 @@ object Similarity {
         col("cos"), col("rank"))
   }
 
-  /** INDEXED capped pair mining — [[cosineTopKBlocked]]'s scale form,
-    * blocking on a materialized IVF layout ([[writeIvfIndex]]) instead
-    * of sign buckets. Candidates are the SYMMETRIC CLOSURE of "the
-    * `nprobe` lists nearest each doc's own list" (a C×C centroid
-    * adjacency, computed once and broadcast — zero per-doc centroid
-    * scans): a pair is scored once if either doc's list probes the
-    * other's, then both directions rank through the same BoundedTopK
-    * partial-heap as the blocked variant (top-`k` per doc, floor
-    * `threshold`).
-    *
-    * Why this beats sign buckets at scale: candidate volume here is
-    * n × nprobe × listSize BY CONSTRUCTION — density-independent —
-    * because every doc scores exactly its probed lists, however
-    * clustered the corpus. Sign buckets concentrate a clustered
-    * corpus into few hot buckets (axis-aligned projections can't
-    * follow the data), so Σ bucket² grows superlinearly even with the
-    * [[BlockDials.signBits]] resolution dial (measured exponent 1.27
-    * at sf1→sf10, candidate exponent 1.70 — PLANS.md round 16/17).
-    * With [[BlockDials.ivfLists]] scaling C ∝ n, listSize stays
-    * ~constant and the mining pass is Θ(n). The recall trade: a true
-    * neighbor outside the doc's `nprobe` adjacent lists is missed —
-    * measured against ground truth in AbTopKIndexed (PLANS.md).
-    *
-    * Skew: list sizes are k-means-balanced, not guaranteed-bounded; a
-    * genuinely hot list splits under AQE skew-join handling (the probe
-    * join is a plain shuffle join on list id, not a self-join needing
-    * salting).
-    *
-    * Determinism: the adjacency ranks by rounded centroid-pair cosine
-    * (ties by probe list id), pair scores round to `roundTo` before
-    * ranking, ranking ties break by neighbor id — a total order any
-    * engine replays (q124's oracle).
+  /** Threshold-qualifying pairs of an IVF-indexed corpus — the shared
+    * candidate stage of [[cosineTopKIndexed]] (top-k capped mining)
+    * and [[nearDupComponentsIndexed]] (the dedup decision path).
+    * Candidates are the symmetric closure of "the `nprobe` lists
+    * nearest each list" over a broadcast C×C centroid adjacency (self
+    * pair always included); each unordered candidate pair is scored
+    * exactly once (same-list pairs oriented aid < bid, cross-list
+    * pairs in adjacency orientation) and kept at `cos >= threshold`.
+    * Returns (aid, bid, cos).
     */
-  def cosineTopKIndexed(index: DataFrame, centroids: DataFrame,
-                        k: Int, threshold: Double, nprobe: Int,
-                        roundTo: Int = 9): DataFrame = {
+  private[graft] def indexedQualifyingPairs(
+      index: DataFrame, centroids: DataFrame, threshold: Double,
+      nprobe: Int, roundTo: Int = 9): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1, "nprobe must be >= 1")
     val cA = centroids.select(col("centroid_id").as("list_id"),
@@ -508,7 +485,7 @@ object Similarity {
     // the only exchange in the mining pass: both sides hash on the
     // probed-list key (a expanded ×|sym adjacency| by the broadcast
     // pair table first)
-    val scored = a.join(broadcast(lp), Seq("la"))
+    a.join(broadcast(lp), Seq("la"))
       .join(b, Seq("lb"))
       // same-list pairs appear in both (a,b) and (b,a) order — keep
       // i<j once; cross-list pairs appear exactly once already
@@ -518,6 +495,43 @@ object Similarity {
           roundTo))
       .filter(col("cos") >= threshold)
       .select(col("aid"), col("bid"), col("cos"))
+  }
+
+  /** INDEXED capped pair mining — [[cosineTopKBlocked]]'s scale form,
+    * blocking on a materialized IVF layout ([[writeIvfIndex]]) instead
+    * of sign buckets. Candidates come from [[indexedQualifyingPairs]]
+    * (symmetric-closure probed-list pairs, each scored once), then
+    * both directions rank through the same BoundedTopK partial-heap
+    * as the blocked variant (top-`k` per doc, floor `threshold`).
+    *
+    * Why this beats sign buckets at scale: candidate volume here is
+    * n × nprobe × listSize BY CONSTRUCTION — density-independent —
+    * because every doc scores exactly its probed lists, however
+    * clustered the corpus. Sign buckets concentrate a clustered
+    * corpus into few hot buckets (axis-aligned projections can't
+    * follow the data), so Σ bucket² grows superlinearly even with the
+    * [[BlockDials.signBits]] resolution dial (measured exponent 1.27
+    * at sf1→sf10, candidate exponent 1.70 — PLANS.md round 16/17).
+    * With [[BlockDials.ivfLists]] scaling C ∝ n, listSize stays
+    * ~constant and the mining pass is Θ(n). The recall trade: a true
+    * neighbor outside the doc's `nprobe` adjacent lists is missed —
+    * measured against ground truth in AbTopKIndexed (PLANS.md).
+    *
+    * Skew: list sizes are k-means-balanced, not guaranteed-bounded; a
+    * genuinely hot list splits under AQE skew-join handling (the probe
+    * join is a plain shuffle join on list id, not a self-join needing
+    * salting).
+    *
+    * Determinism: the adjacency ranks by rounded centroid-pair cosine
+    * (ties by probe list id), pair scores round to `roundTo` before
+    * ranking, ranking ties break by neighbor id — a total order any
+    * engine replays (q124's oracle).
+    */
+  def cosineTopKIndexed(index: DataFrame, centroids: DataFrame,
+                        k: Int, threshold: Double, nprobe: Int,
+                        roundTo: Int = 9): DataFrame = {
+    val scored =
+      indexedQualifyingPairs(index, centroids, threshold, nprobe, roundTo)
     val directed = scored
       .select(explode(array(
         struct(col("aid").as("doc_id"), col("bid").as("neighbor_id"),
@@ -543,6 +557,11 @@ object Similarity {
     * of component diameter), which canonicalizes + dedups them as its
     * own first step. Returns (v, component) per input doc; component
     * = min reachable id, the same canonical fixpoint q47/q103 gate.
+    *
+    * Blocking caveat: sign buckets lose 22–30% of planted near-dup
+    * pairs on clustered corpora (PLANS.md round 17) — prefer
+    * [[nearDupComponentsIndexed]] (IVF-list blocking, recall ≥ 0.95)
+    * when the corpus is a real text-embedding distribution.
     */
   def nearDupComponents(df: DataFrame, id: String, vec: String,
                         threshold: Double, nbits: Int,
@@ -551,5 +570,34 @@ object Similarity {
       roundTo, chunks).select(col("id_a"), col("id_b"))
     Dedup.connectedComponentsStar(df.select(col(id)), col(id),
       pairs, col("id_a"), col("id_b"))
+  }
+
+  /** [[nearDupComponents]] over IVF-list blocking — the PRODUCTION
+    * dedup decision path for clustered (i.e. real text-embedding)
+    * corpora. Sign buckets slice tight angular cones apart
+    * (0.70–0.78 planted-pair recall on the clustered fixture —
+    * PLANS.md round 17), silently under-merging; learned IVF lists
+    * follow the data, and [[indexedQualifyingPairs]]' self-unioned
+    * symmetric-closure probing holds planted-pair recall ≥ 0.95 at
+    * nprobe ≥ 2 (RecallSpec pins the law on a committed fixture
+    * generator). Candidate volume stays n·nprobe·listSize by
+    * construction ([[BlockDials.ivfLists]]), so the decision pass is
+    * Θ(n) however clustered the corpus.
+    *
+    * The qualifying-pair table is never materialized: the skinny
+    * (aid, bid) pairs flow straight into star-contraction CC
+    * ([[Dedup.connectedComponentsStar]], O(log n) rounds regardless
+    * of component diameter). Returns (v, component) per indexed item;
+    * component = min reachable id, the same canonical fixpoint the
+    * q47/q103/q121 oracles gate.
+    */
+  def nearDupComponentsIndexed(index: DataFrame, centroids: DataFrame,
+                               threshold: Double, nprobe: Int,
+                               roundTo: Int = 9): DataFrame = {
+    val pairs =
+      indexedQualifyingPairs(index, centroids, threshold, nprobe, roundTo)
+        .select(col("aid"), col("bid"))
+    Dedup.connectedComponentsStar(index.select(col("item_id")),
+      col("item_id"), pairs, col("aid"), col("bid"))
   }
 }

@@ -118,14 +118,16 @@ object SimilarityQueries extends Catalog {
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
       .take(12)
 
-  // --- q124 oracle: sample-trained k-means (2 Lloyd steps over the
-  // 50·C lowest-id vectors), full-corpus assignment, C×C centroid
-  // adjacency, then the indexed top-k mining — the IVF list-count
-  // dial (GREATEST(4, CEIL(n/500))) and sample-size derivation are
-  // pure integer SQL, so the hash gate covers the dials too.
-  private val duckTopKIndexed: String = {
+  // --- shared CTE chain for the IVF-indexed miners (q124/q125):
+  // sample-trained k-means (2 Lloyd steps over the 50·C lowest-id
+  // vectors), full-corpus assignment (af), self-unioned C×C centroid
+  // adjacency (adj), unordered list pairs (lp), and the threshold-
+  // qualifying pairs (qual) — the IVF list-count dial
+  // (GREATEST(4, CEIL(n/500))) and sample-size derivation are pure
+  // integer SQL, so the hash gates cover the dials too.
+  private val duckIndexedQualCtes: String = {
     val cexpr = "GREATEST(4, CAST(CEIL(COUNT(*) / 500.0) AS BIGINT))"
-    s"""WITH e AS ($duckE),
+    s"""e AS ($duckE),
        |params AS (
        |  SELECT $cexpr AS c, LEAST(COUNT(*), 50 * $cexpr) AS s
        |  FROM embeddings),
@@ -171,7 +173,12 @@ object SimilarityQueries extends Catalog {
        |  FROM af a JOIN lp ON a.list_id = lp.la
        |            JOIN af b ON b.list_id = lp.lb
        |  WHERE (lp.la <> lp.lb OR a.item_id < b.item_id)
-       |    AND ${duckRoundCos("a.cv", "b.cv")} >= 0.45),
+       |    AND ${duckRoundCos("a.cv", "b.cv")} >= 0.45)""".stripMargin
+  }
+
+  // --- q124 oracle: the shared chain + indexed top-k ranking. ---
+  private val duckTopKIndexed: String =
+    s"""WITH $duckIndexedQualCtes,
        |directed AS (
        |  SELECT id_a AS doc_id, id_b AS neighbor_id, cos FROM qual
        |  UNION ALL
@@ -183,7 +190,22 @@ object SimilarityQueries extends Catalog {
        |  FROM directed)
        |SELECT doc_id, neighbor_id, cos, rank FROM ranked
        |WHERE rank <= $K ORDER BY doc_id, rank""".stripMargin
-  }
+
+  // --- q125 oracle: the shared chain's qualifying pairs walked to
+  // the min-reachable-id fixpoint (same recursive-CTE labeling that
+  // gates q47/q103/q121). ---
+  private val duckNearDupIndexed: String =
+    s"""WITH RECURSIVE $duckIndexedQualCtes,
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM qual
+       |  UNION
+       |  SELECT id_b, id_a FROM qual),
+       |walk(v, l) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e2.dst, w.l FROM walk w JOIN edges e2 ON e2.src = w.v)
+       |SELECT v AS vec_id, MIN(l) AS component, (v = MIN(l)) AS survivor
+       |FROM walk GROUP BY v ORDER BY vec_id""".stripMargin
 
   override val queries: Seq[Q] = Seq(
 
@@ -512,6 +534,40 @@ object SimilarityQueries extends Catalog {
           .orderBy(col("doc_id"), col("rank"))
       },
       Some(duckTopKIndexed)),
+
+    // The dedup DECISION path over the same IVF blocking — q121's
+    // production form for clustered corpora: sign buckets slice tight
+    // angular cones apart (0.70–0.78 planted-pair recall, PLANS.md
+    // r17), silently under-merging; learned lists hold >= 0.95
+    // (RecallSpec pins the law). Qualifying pairs flow straight into
+    // star-contraction CC — the pair table is never materialized,
+    // output is Θ(n) labels. Same min-reachable-id fixpoint, same
+    // recursive-CTE oracle shape as q47/q103/q121, over the shared
+    // sample-trained-k-means CTE chain of q124.
+    Q("q125_near_dup_indexed",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val n = e.count()
+        val c = BlockDials.ivfLists(n)
+        val smp = math.min(n, 50L * c).toInt
+        val sample = e.orderBy(col("vec_id")).limit(smp)
+        val centroids = Similarity.trainCentroids(
+          sample, "vec_id", "embedding", k = c, iters = 2)
+        val path = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_q125_ivf_nd_${dirTag(dir)}").getAbsolutePath
+        Similarity.writeIvfIndex(e, "vec_id", "embedding", centroids, path)
+        Similarity.nearDupComponentsIndexed(
+            Similarity.readIvfIndex(s, path), centroids,
+            threshold = 0.45, nprobe = 2)
+          .select(col("v").as("vec_id"), col("component"),
+            (col("v") === col("component")).as("survivor"))
+          .orderBy(col("vec_id"))
+      },
+      Some(duckNearDupIndexed),
+      bench = false), // iterative fixpoint (like q121): rounds ×
+                      // job-launch floor is scheduling noise at bench
+                      // scale; its scale evidence is the sf10 props
+                      // gate + the RecallSpec recall law
 
     Q("q53_vector_stats",
       (s, dir) => Tables.load(s, dir, "embeddings")

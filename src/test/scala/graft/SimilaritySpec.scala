@@ -300,4 +300,23 @@ class SimilaritySpec extends SparkSpec {
     // output is Θ(n): exactly one label per input doc
     assert(viaCompose.count() == e.count())
   }
+
+  test("nearDupComponentsIndexed == min-label CC over the indexed pair set") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val centroids = Similarity.trainCentroids(
+      e, "vec_id", "embedding", k = 4, iters = 2)
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_spec_nd_indexed").getAbsolutePath
+    Similarity.writeIvfIndex(e, "vec_id", "embedding", centroids, path)
+    val index = Similarity.readIvfIndex(spark, path)
+    val viaCompose = Similarity.nearDupComponentsIndexed(
+      index, centroids, threshold = 0.3, nprobe = 2)
+    val pairs = Similarity.indexedQualifyingPairs(
+      index, centroids, threshold = 0.3, nprobe = 2)
+    val viaMinLabel = graft.operators.Dedup.connectedComponents(
+      index.select($"item_id"), $"item_id", pairs, $"aid", $"bid")
+    assert(viaCompose.collect().toSet == viaMinLabel.collect().toSet)
+    // output is Θ(n): exactly one label per indexed item
+    assert(viaCompose.count() == e.count())
+  }
 }

@@ -52,7 +52,10 @@ FAMILY+="q122_ann_ivf_probe,"
 # oracles are recursive-CTE/full-assignment replays that may time out
 # at sf10 (degrading to spark_only rows); their 100× laws live in
 # ScaleProps (budget bound, CC cross-impl equality, sampled re-score)
-FAMILY+="q123_curation_pipeline,q124_cosine_topk_indexed"
+FAMILY+="q123_curation_pipeline,q124_cosine_topk_indexed,"
+# round 19: the indexed dedup DECISION path (q121's production form —
+# recall law in RecallSpec, CC laws in ScaleProps)
+FAMILY+="q125_near_dup_indexed"
 OUT=/tmp/verify_sf10
 SPARK_GRAFT_VERIFY_ONLY="$FAMILY" SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Verify testdata/sf10 $OUT" >/dev/null
