@@ -18,8 +18,14 @@ import graft.functions.TextFunctions.tokens
   * ranking a log formulation gives when df ordering decides.
   *
   * Scale: one explode + (doc,term) shuffle for the term counts; the
-  * document-frequency table is VOCABULARY-sized and broadcast back —
-  * the corpus is never shuffled on anything but its own keys. The
+  * document-frequency table is VOCABULARY-sized and joins back under
+  * AQE's runtime size gate — broadcast while the distinct-term table
+  * fits (it does at every test sf; PlansSpec pins it), a shuffle join
+  * when it doesn't. The hint is deliberately NOT forced: a web-scale
+  * corpus has a billions-row term table, and a forced broadcast
+  * bypasses the size check to die at the broadcast limit instead of
+  * degrading (the n_docs side stays hinted — one row by
+  * construction). The
   * document length is `sum(cnt) OVER (PARTITION BY doc_id)`: this
   * window is NOT an extra exchange, because its doc_id partitioning
   * is exactly what the final rank window requires, so the one
@@ -48,7 +54,7 @@ object TfIdf {
     val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tfLen
-      .join(broadcast(dfTbl), Seq("term"))
+      .join(dfTbl, Seq("term"))
       .crossJoin(broadcast(nDocs))
       // (cnt/len) * (n/df) in exactly this association — mirrored in
       // the oracle so the doubles agree bit-for-bit; rounded before

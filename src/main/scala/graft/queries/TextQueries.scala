@@ -387,11 +387,17 @@ object TextQueries extends Catalog {
           .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
           .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c_ab"))
           .filter(col("c_ab") >= 20)
+        // the df enrichments are VOCABULARY-sized: joined under AQE's
+        // runtime size gate, not a forced broadcast hint — at web
+        // scale the distinct-term table is billions of rows and a
+        // forced hint dies at the broadcast limit instead of
+        // degrading to a shuffle join (nDocs stays hinted: one row
+        // by construction)
         pairs
-          .join(broadcast(df_.select(col("t").as("t1"),
-            col("df").as("df1"))), Seq("t1"))
-          .join(broadcast(df_.select(col("t").as("t2"),
-            col("df").as("df2"))), Seq("t2"))
+          .join(df_.select(col("t").as("t1"),
+            col("df").as("df1")), Seq("t1"))
+          .join(df_.select(col("t").as("t2"),
+            col("df").as("df2")), Seq("t2"))
           .crossJoin(broadcast(nDocs))
           .select(col("t1"), col("t2"), col("c_ab"),
             // double BEFORE the multiplies (mirroring the oracle's

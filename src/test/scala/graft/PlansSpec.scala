@@ -198,6 +198,28 @@ class PlansSpec extends SparkSpec {
       s"corpus shuffled on the term key:\n$p")
   }
 
+  test("q69: vocab join is AQE-gated, not hint-forced — degrades to shuffle") {
+    // the df table is VOCABULARY-sized; a forced broadcast() hint
+    // bypasses AQE's size check and dies at the broadcast limit when
+    // the term table is web-scale. The previous test pins that the
+    // small-vocab case still broadcasts (no SortMergeJoin) — this one
+    // proves the graceful path: with broadcasting disabled the SAME
+    // operator degrades to a shuffle join and returns identical rows.
+    import org.apache.spark.sql.functions.col
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val run = (s: org.apache.spark.sql.SparkSession) =>
+      graft.operators.TfIdf.topTerms(
+        Tables.load(s, dir, "documents"), col("doc_id"), col("text"), 3)
+    val degraded = run(s2)
+    val p = finalPlan(degraded)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"vocab join did not degrade to a shuffle join:\n$p")
+    assert(degraded.collect().toSet == run(spark).collect().toSet,
+      "degraded plan changed the result")
+  }
+
   test("q122: probe scan is dynamically partition-pruned to the probed lists") {
     val p = plan("q122_ann_ivf_probe")
     // the materialized index is list_id-partitioned; the probe join's
