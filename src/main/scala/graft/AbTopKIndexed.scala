@@ -75,8 +75,10 @@ object AbTopKIndexed {
       e.orderBy(col("vec_id")).limit(smp), "vec_id", "embedding",
       k = c, iters = 2)
     val tTrain = (System.nanoTime() - t0) / 1e9
+    // keyed by the input dir: two concurrent A/B runs (sf1 vs sf10 on
+    // one host) must never overwrite each other's index mid-measure
     val idxPath = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_ab_topk_idx").getAbsolutePath
+      s"graft_ab_topk_idx_${dir.hashCode.toHexString}").getAbsolutePath
     val t1 = System.nanoTime()
     Similarity.writeIvfIndex(e, "vec_id", "embedding", centroids, idxPath)
     val tWrite = (System.nanoTime() - t1) / 1e9

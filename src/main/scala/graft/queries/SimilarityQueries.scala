@@ -288,11 +288,8 @@ object SimilarityQueries extends Catalog {
           e, "vec_id", "embedding", k = 8, iters = 3)
         // index path keyed by the input dir so concurrent gates (sf1 vs
         // sf10, or two sessions on one host) never race on one directory
-        val dirTag = java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-          .take(12)
         val path = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_q122_ivf_index_$dirTag").getAbsolutePath
+          s"graft_q122_ivf_index_${dirTag(dir)}").getAbsolutePath
         Similarity.writeIvfIndex(e, "vec_id", "embedding", centroids, path)
         Similarity.ivfProbeIndexed(
             Similarity.readIvfIndex(s, path),

@@ -52,11 +52,22 @@ def main(sf_dir, out_dir, threads=16, runs=5, json_out=None):
     timed_out = []
 
     def run_budgeted(sql):
-        timer = threading.Timer(budget, con.interrupt)
+        # done-flag guard: without it, a timer firing in the window
+        # between query completion and timer.cancel() would interrupt
+        # the NEXT query on this connection, misclassifying a fast
+        # query as a timeout
+        done = threading.Event()
+
+        def maybe_interrupt():
+            if not done.is_set():
+                con.interrupt()
+
+        timer = threading.Timer(budget, maybe_interrupt)
         timer.start()
         try:
             con.execute(sql).fetchall()
         finally:
+            done.set()
             timer.cancel()
 
     for name in sorted(oracle):
