@@ -80,7 +80,8 @@ object AbTopKIndexed {
     val idxPath = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_ab_topk_idx_${dir.hashCode.toHexString}").getAbsolutePath
     val t1 = System.nanoTime()
-    Similarity.writeIvfIndex(e, "vec_id", "embedding", centroids, idxPath)
+    Similarity.writeIvfIndex(e, "vec_id", "embedding", centroids, idxPath,
+      listCap = BlockDials.ivfListCap(n, c))
     val tWrite = (System.nanoTime() - t1) / 1e9
     val index = Similarity.readIvfIndex(spark, idxPath)
     def armB() = Similarity.cosineTopKIndexed(
@@ -100,6 +101,10 @@ object AbTopKIndexed {
       .filter(col("rn") <= nprobe)
       .select(least(col("a.centroid_id"), col("b.centroid_id")).as("la"),
         greatest(col("a.centroid_id"), col("b.centroid_id")).as("lb"))
+      // the operator unconditionally self-probes (identical-centroid
+      // guard) — mirror it so candB counts what the miner scores
+      .union(cc.select(col("centroid_id").as("la"),
+        col("centroid_id").as("lb")))
       .distinct()
     val candB = lp
       .join(sizes.withColumnRenamed("lid", "la")

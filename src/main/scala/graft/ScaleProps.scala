@@ -274,7 +274,8 @@ object ScaleProps {
         k = c, iters = 2)
       val path = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_props_q125_idx").getAbsolutePath
-      Similarity.writeIvfIndex(emb, "vec_id", "embedding", centroids, path)
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", centroids, path,
+        listCap = BlockDials.ivfListCap(nE, c))
       val index = Similarity.readIvfIndex(spark, path)
       val pairs = Similarity.indexedQualifyingPairs(
         index, centroids, threshold = 0.45, nprobe = 2)

@@ -91,6 +91,25 @@ object BlockDials {
     math.max(minLists.toLong, math.ceil(n / targetList.toDouble).toLong).toInt
   }
 
+  /** Per-list occupancy cap for [[Similarity.writeIvfIndex]]'s
+    * overflow rebalancing: `2 × ceil(n / c)` — twice the average
+    * occupancy. k-means lists are balanced in expectation, not by
+    * guarantee; on clustered corpora (or under the cheap 2-iter
+    * sampled training) hot lists outgrow the average and the indexed
+    * miners' candidate volume Σ|la|×|lb| picks up a superlinear term
+    * (measured exponent 1.16 sf1→sf10 before the cap — PLANS.md r17).
+    * Items ranked past the cap overflow to their second-nearest
+    * centroid (one deterministic round, no cascade), restoring
+    * candidates ≈ Θ(n · nprobe · cap). Pure integer derivation
+    * (`2 * CAST(CEIL(n / CAST(c AS DOUBLE)) AS BIGINT)` in DuckDB),
+    * same oracle contract as the other dials.
+    */
+  def ivfListCap(n: Long, c: Int): Int = {
+    require(n >= 0, "count must be non-negative")
+    require(c >= 1, "list count must be >= 1")
+    math.max(1L, 2L * math.ceil(n / c.toDouble).toLong).toInt
+  }
+
   /** The two corpus stats the dials need, via one column-pruned agg
     * job (count + max over a single int column — parquet footer
     * statistics feed the max, and the scan never touches text or

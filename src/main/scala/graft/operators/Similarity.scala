@@ -367,11 +367,63 @@ object Similarity {
         col("e.score").as("cos"), (col("p") + 1).cast("int").as("rank"))
   }
 
+  /** Like [[assignToCentroid]], but emits the runner-up too — and the
+    * winning (rounded) cosine, so a capacity rebalance can rank a
+    * list's members by closeness. Identical winner/tie semantics
+    * (first max of the id-sorted array = lowest centroid_id); the
+    * runner-up masks the winner's slot and re-argmaxes, so on a tied
+    * max the runner-up is the second-lowest id — exactly DuckDB's
+    * `row_number() ORDER BY d DESC, id` rn=2.
+    */
+  private def assignToCentroid2(rows: DataFrame, centroids: DataFrame,
+                                vecCol: String, roundTo: Int = 9)
+      : DataFrame = {
+    val cArr = centroids.agg(
+      array_sort(collect_list(struct(col("centroid_id"), col("centroid"),
+        l2Norm(col("centroid")).as("cnrm")))).as("cs"))
+    rows.crossJoin(broadcast(cArr))
+      .withColumn("nv", l2Norm(col(vecCol)))
+      .withColumn("ds", transform(col("cs"), c =>
+        coalesce(round(try_divide(dot(col(vecCol), c.getField("centroid")),
+          col("nv") * c.getField("cnrm")), roundTo), lit(-1.0))))
+      .withColumn("bd", array_max(col("ds")))
+      .withColumn("bp", array_position(col("ds"), col("bd")))
+      .withColumn("centroid_id",
+        element_at(col("cs"), col("bp").cast("int")).getField("centroid_id"))
+      // mask the winner's slot (-2 is below any cosine and the -1
+      // zero-norm fallback), then the same first-max argmax
+      .withColumn("ds2", transform(col("ds"), (d, i) =>
+        when(i === col("bp") - 1, lit(-2.0)).otherwise(d)))
+      .withColumn("second_id",
+        element_at(col("cs"),
+          array_position(col("ds2"), array_max(col("ds2"))).cast("int"))
+          .getField("centroid_id"))
+      .drop("cs", "nv", "ds", "bp", "ds2")
+  }
+
   /** Materialized IVF index: the corpus assigned to its nearest
     * centroid and written partitioned by `list_id` — the embedding
     * analog of `Dedup.writeBucketIndex`'s materialized dedup index.
     * The k-means and the full-corpus assignment scan are paid ONCE,
     * offline; every later query batch probes the layout read-only.
+    *
+    * `listCap > 0` enables ONE deterministic overflow round: each
+    * list ranks its members by (assignment cosine DESC, id) and
+    * members past the cap move to their second-nearest centroid. Why:
+    * k-means lists are balanced in expectation only, and the indexed
+    * miners' candidate volume Σ|la|×|lb| inherits a superlinear term
+    * from hot lists (measured exponent 1.16 sf1→sf10 uncapped —
+    * PLANS.md r17/r19); the cap restores Θ(n·nprobe·cap) by
+    * construction. The round is single-pass (no cascade: a receiving
+    * list may exceed the cap by what it receives — a bounded slack,
+    * stated honestly rather than iterated away), costs one
+    * list-keyed window exchange in the BUILD (the amortized offline
+    * pass; probe reads stay untouched), and is deterministic —
+    * farthest members overflow first, ties by id — so the DuckDB
+    * oracle replays it (q124/q125). The recall effect is gated by
+    * RecallSpec's ≥ 0.95 law: an overflowed boundary item lands in
+    * its second-nearest list, whose probe set almost always contains
+    * the original neighbor region.
     *
     * Scale: `partitionBy(list_id)` makes the list the unit of I/O.
     * A probe joining the (tiny, broadcast) query×nprobe-list frame
@@ -385,9 +437,22 @@ object Similarity {
     */
   def writeIvfIndex(corpus: DataFrame, id: String, vec: String,
                     centroids: DataFrame, path: String,
-                    roundTo: Int = 9): Unit = {
+                    roundTo: Int = 9, listCap: Int = 0): Unit = {
+    import org.apache.spark.sql.expressions.Window
     val v = corpus.select(col(id).as("cid"), toDoubles(col(vec)).as("v"))
-    assignToCentroid(v, centroids, "v", roundTo)
+    val assigned =
+      if (listCap <= 0) assignToCentroid(v, centroids, "v", roundTo)
+      else {
+        val w = Window.partitionBy(col("centroid_id"))
+          .orderBy(col("bd").desc, col("cid"))
+        assignToCentroid2(v, centroids, "v", roundTo)
+          .withColumn("lr", row_number().over(w))
+          .withColumn("centroid_id",
+            when(col("lr") <= listCap, col("centroid_id"))
+              .otherwise(col("second_id")))
+          .drop("bd", "second_id", "lr")
+      }
+    assigned
       .select(col("cid").as("item_id"), col("v").as("cv"),
         l2Norm(col("v")).as("cn"), col("centroid_id").as("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(path)

@@ -128,9 +128,13 @@ object SimilarityQueries extends Catalog {
   private val duckIndexedQualCtes: String = {
     val cexpr = "GREATEST(4, CAST(CEIL(COUNT(*) / 500.0) AS BIGINT))"
     s"""e AS ($duckE),
+       |params0 AS (
+       |  SELECT COUNT(*) AS n, $cexpr AS c FROM embeddings),
        |params AS (
-       |  SELECT $cexpr AS c, LEAST(COUNT(*), 50 * $cexpr) AS s
-       |  FROM embeddings),
+       |  SELECT c, LEAST(n, 50 * c) AS s,
+       |    GREATEST(1, 2 * CAST(CEIL(n / CAST(c AS DOUBLE)) AS BIGINT))
+       |      AS cap
+       |  FROM params0),
        |sample AS (
        |  SELECT vec_id, v FROM (
        |    SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
@@ -145,14 +149,25 @@ object SimilarityQueries extends Catalog {
        |${duckMeans("a1", "c1")},
        |${duckAssign("sample", "c1", "a2")},
        |${duckMeans("a2", "c2")},
-       |af AS (
-       |  SELECT cid AS item_id, v AS cv, centroid_id AS list_id FROM (
+       |af0 AS (
+       |  SELECT cid, v, centroid_id, d, rn FROM (
        |    SELECT e.vec_id AS cid, e.v AS v, c.centroid_id,
+       |      ${duckRoundCos("e.v", "c.centroid")} AS d,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${duckRoundCos("e.v", "c.centroid")} DESC,
        |                 c.centroid_id) AS rn
        |    FROM e CROSS JOIN c2 c) t
-       |  WHERE rn = 1),
+       |  WHERE rn <= 2),
+       |lranked AS (
+       |  SELECT cid, v, centroid_id,
+       |    row_number() OVER (PARTITION BY centroid_id
+       |      ORDER BY d DESC, cid) AS lr
+       |  FROM af0 WHERE rn = 1),
+       |af AS (
+       |  SELECT r.cid AS item_id, r.v AS cv,
+       |    CASE WHEN r.lr <= (SELECT cap FROM params) THEN r.centroid_id
+       |         ELSE s.centroid_id END AS list_id
+       |  FROM lranked r JOIN af0 s ON s.cid = r.cid AND s.rn = 2),
        |adj AS (
        |  SELECT list_id, probe_list FROM (
        |    SELECT a.centroid_id AS list_id, b.centroid_id AS probe_list,
@@ -509,7 +524,10 @@ object SimilarityQueries extends Catalog {
     // sample-trained, materialized IVF layout instead of sign
     // buckets, so candidate volume is n·nprobe·listSize BY
     // CONSTRUCTION (density-independent; C = GREATEST(4, n/500)
-    // lists via BlockDials.ivfLists). Build (train + assign + write)
+    // lists via BlockDials.ivfLists, per-list occupancy capped at
+    // 2× average via BlockDials.ivfListCap — one deterministic
+    // overflow round to the second-nearest centroid, replayed in the
+    // oracle's lranked/af CTEs). Build (train + assign + write)
     // happens in-query here so the hash gate covers the whole
     // derivation; the build-vs-mine split and the recall-vs-q120
     // trade are measured in AbTopKIndexed (PLANS.md).
@@ -524,7 +542,8 @@ object SimilarityQueries extends Catalog {
           sample, "vec_id", "embedding", k = c, iters = 2)
         val path = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft_q124_ivf_topk_${dirTag(dir)}").getAbsolutePath
-        Similarity.writeIvfIndex(e, "vec_id", "embedding", centroids, path)
+        Similarity.writeIvfIndex(e, "vec_id", "embedding", centroids, path,
+          listCap = BlockDials.ivfListCap(n, c))
         Similarity.cosineTopKIndexed(
             Similarity.readIvfIndex(s, path), centroids,
             k = K, threshold = 0.45, nprobe = 2)
@@ -552,7 +571,8 @@ object SimilarityQueries extends Catalog {
           sample, "vec_id", "embedding", k = c, iters = 2)
         val path = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft_q125_ivf_nd_${dirTag(dir)}").getAbsolutePath
-        Similarity.writeIvfIndex(e, "vec_id", "embedding", centroids, path)
+        Similarity.writeIvfIndex(e, "vec_id", "embedding", centroids, path,
+          listCap = BlockDials.ivfListCap(n, c))
         Similarity.nearDupComponentsIndexed(
             Similarity.readIvfIndex(s, path), centroids,
             threshold = 0.45, nprobe = 2)

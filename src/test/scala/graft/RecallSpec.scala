@@ -93,7 +93,8 @@ class RecallSpec extends SparkSpec {
       k = c, iters = 2)
     val path = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_spec_recall_indexed").getAbsolutePath
-    Similarity.writeIvfIndex(e, "vec_id", "embedding", centroids, path)
+    Similarity.writeIvfIndex(e, "vec_id", "embedding", centroids, path,
+      listCap = BlockDials.ivfListCap(n, c))
     val comp = Similarity.nearDupComponentsIndexed(
         Similarity.readIvfIndex(spark, path), centroids,
         threshold = 0.45, nprobe = 2)

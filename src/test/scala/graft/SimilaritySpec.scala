@@ -301,6 +301,32 @@ class SimilaritySpec extends SparkSpec {
     assert(viaCompose.count() == e.count())
   }
 
+  test("listCap overflow: farthest members move to their second-nearest list") {
+    // hot list 10 holds 5 members; cap=3 must keep the 3 CLOSEST (by
+    // assignment cosine desc, id) and move the 2 farthest to their
+    // runner-up centroid 20 — deterministically. cap=0 keeps all 5.
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.01)), (2L, Seq(1.0, 0.02)), (3L, Seq(1.0, 0.03)),
+      (4L, Seq(1.0, 0.20)), (5L, Seq(1.0, 0.30)), (6L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val centroids = Seq((10L, Seq(1.0, 0.0)), (20L, Seq(0.0, 1.0)))
+      .toDF("centroid_id", "centroid")
+    def build(cap: Int): Map[Long, Long] = {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_spec_listcap_$cap").getAbsolutePath
+      Similarity.writeIvfIndex(corpus, "vec_id", "embedding", centroids,
+        path, listCap = cap)
+      spark.read.parquet(path)
+        .select($"item_id", $"list_id".cast("long")).as[(Long, Long)]
+        .collect().toMap
+    }
+    assert(build(0) ==
+      Map(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 10L, 5L -> 10L, 6L -> 20L))
+    assert(build(3) ==
+      Map(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 20L, 5L -> 20L, 6L -> 20L),
+      "overflow did not move the two farthest members to the runner-up")
+  }
+
   test("nearDupComponentsIndexed == min-label CC over the indexed pair set") {
     val e = Tables.load(spark, dir, "embeddings")
     val centroids = Similarity.trainCentroids(
