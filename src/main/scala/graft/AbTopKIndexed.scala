@@ -27,6 +27,9 @@ object AbTopKIndexed {
     val reps = if (args.length > 1) args(1).toInt else 3
     val withTruth = if (args.length > 2) args(2).toInt == 1 else true
     val nprobe = if (args.length > 3) args(3).toInt else 2
+    // experimental cap-multiplier override (dial study only; the
+    // shipped dial is BlockDials.ivfListCap's 2x average)
+    val capMult = if (args.length > 4) Some(args(4).toDouble) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -80,8 +83,12 @@ object AbTopKIndexed {
     val idxPath = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_ab_topk_idx_${dir.hashCode.toHexString}").getAbsolutePath
     val t1 = System.nanoTime()
+    val cap = capMult match {
+      case Some(m) => math.max(1L, math.ceil(m * math.ceil(n.toDouble / c)).toLong).toInt
+      case None    => BlockDials.ivfListCap(n, c)
+    }
     Similarity.writeIvfIndex(e, "vec_id", "embedding", centroids, idxPath,
-      listCap = BlockDials.ivfListCap(n, c))
+      listCap = cap)
     val tWrite = (System.nanoTime() - t1) / 1e9
     val index = Similarity.readIvfIndex(spark, idxPath)
     def armB() = Similarity.cosineTopKIndexed(
@@ -142,7 +149,7 @@ object AbTopKIndexed {
     println(f"""{"ab":"topk_indexed","sf":"$dir","n":$n,"reps":$reps,""" +
       f""""blocked":{"sec":$tA%.3f,"rows":${pairsA.size},"cands":$candA,"nbits":$nb},""" +
       f""""indexed":{"train_sec":$tTrain%.3f,"write_sec":$tWrite%.3f,"mine_sec":$tB%.3f,""" +
-      f""""rows":${pairsB.size},"cands":$candB,"lists":$c,"nprobe":$nprobe,"sample":$smp},""" +
+      f""""rows":${pairsB.size},"cands":$candB,"lists":$c,"cap":$cap,"nprobe":$nprobe,"sample":$smp},""" +
       s"""$recallJson}""")
     spark.stop()
   }
