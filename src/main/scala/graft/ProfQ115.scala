@@ -32,8 +32,13 @@ object ProfQ115 {
           countDistinct(col("doc_small")).as("n_contained")).head()
         (row.getLong(0), row.getLong(1), (System.nanoTime() - t0) / 1e9)
       }
-      run() // warm
-      val runs = (1 to reps).map(_ => run())
+      // System.gc between executions (Bench does the same): shuffle
+      // files of a finished job are only deleted when the
+      // ContextCleaner sees its references collected — at realdocs
+      // sf10 one execution spills tens of GB, and two uncollected
+      // executions filled the disk (r19)
+      run(); System.gc() // warm
+      val runs = (1 to reps).map { _ => val r = run(); System.gc(); r }
       val med = runs.map(_._3).sorted.apply(reps / 2)
       println(f"[q115-dial] t=$t%.2f pairs=${runs.head._1}%d " +
         f"contained_docs=${runs.head._2}%d med=$med%.2f s")

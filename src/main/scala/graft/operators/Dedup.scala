@@ -307,6 +307,19 @@ object Dedup {
     * the probe side's prefixes, so a stop-word's huge postings list
     * meets few probes — and the candidate-pair dedup. The verify phase
     * is the same codegen'd sorted-merge intersect as q45.
+    *
+    * Scale CEILING (measured, PLANS.md r19): exact all-pairs
+    * containment is Θ(n²/V) candidates at fixed vocabulary V — probes
+    * and every token's postings both grow ~n, so the prefix filter
+    * buys the 1/V constant, never the exponent (candidate exponent
+    * 1.99 on the realistic 30k-vocab fixtures, replayed exactly in
+    * DuckDB incl. the positional bound; pair keys cut candidates 15×
+    * but need an O(|b|²) index — rejected). Heaps' law softens real
+    * corpora to ~n^1.5. At corpus scale run this operator
+    * INCREMENTALLY (probe new batches against a corpus index, the
+    * q109/q122 pattern — per-batch cost linear in corpus size) or
+    * behind a first-stage near-dup blocking; as an all-pairs batch
+    * it is a bounded-corpus / per-cluster operator.
     */
   def containmentPairs(df: DataFrame, id: Column, text: Column,
                        threshold: Double, chunks: Int = 32): DataFrame = {
