@@ -60,6 +60,13 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
     results = {}
     con = duckdb.connect()
     import os
+    # Contain DuckDB: without a memory_limit an oracle that outgrows RAM
+    # (q125's recursive-CTE walk at sf10) aborts with an allocator error
+    # AFTER exhausting process memory, which then kills the pyarrow read
+    # of the NEXT query's spark output — the whole gate dies without
+    # writing the artifact (r19). With the limit, the failure is a clean
+    # per-query OutOfMemoryException handled like a timeout below.
+    con.execute("SET memory_limit='64GB'")
     for t in TABLES:
         # `t.parquet` may be a single file or a directory of part files
         # (make_scale_data.py's multi-file layout) — glob the latter.
@@ -100,22 +107,30 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
         except Exception as e:
             # Classify by elapsed time too: interrupt() may land without
             # the Timer body having appended yet.
-            if timed_out or (timeout_s
-                             and time.monotonic() - started >= timeout_s):
-                # DuckDB could not finish inside the cap: keep the query
-                # in the artifact as a Spark-only row check, not a FAIL
-                # and not an omission.
+            oom = isinstance(e, duckdb.OutOfMemoryException) or \
+                "Out of Memory" in str(e)
+            if timed_out or oom or (
+                    timeout_s
+                    and time.monotonic() - started >= timeout_s):
+                # DuckDB could not finish inside the cap — wall-clock OR
+                # memory (same class of infeasibility, and the memory
+                # form would otherwise be hit by whichever oracle runs
+                # while the budget is tightest): keep the query in the
+                # artifact as a Spark-only row check, not a FAIL and not
+                # an omission.
                 ok = len(got) > 0
                 if not ok:
                     failures += 1
+                why = ("out of memory" if oom and not timed_out
+                       else f"timeout after {timeout_s:.0f}s")
                 print(f"{'spark-only' if ok else 'FAIL'} {name}: oracle "
-                      f"timeout after {timeout_s:.0f}s "
-                      f"(spark {len(got)} rows)")
+                      f"{why} (spark {len(got)} rows)")
                 results[name] = {
                     "rows_match": ok, "schema_match": ok, "hash_match": ok,
                     "spark_rows": len(got), "oracle_rows": None,
                     "oracle_timeout": True, "spark_only": True,
-                    "err": None if ok else "oracle timeout and 0 spark rows"}
+                    "oracle_oom": bool(oom and not timed_out),
+                    "err": None if ok else f"oracle {why} and 0 spark rows"}
                 continue
             print(f"FAIL {name}: oracle error {e}")
             failures += 1
