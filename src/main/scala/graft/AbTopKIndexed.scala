@@ -84,7 +84,9 @@ object AbTopKIndexed {
       s"graft_ab_topk_idx_${dir.hashCode.toHexString}").getAbsolutePath
     val t1 = System.nanoTime()
     val cap = capMult match {
-      case Some(m) => math.max(1L, math.ceil(m * math.ceil(n.toDouble / c)).toLong).toInt
+      // clamp before .toInt — Long→Int truncation wraps at giant n (r19 advice)
+      case Some(m) => math.min(Int.MaxValue.toLong,
+        math.max(1L, math.ceil(m * math.ceil(n.toDouble / c)).toLong)).toInt
       case None    => BlockDials.ivfListCap(n, c)
     }
     Similarity.writeIvfIndex(e, "vec_id", "embedding", centroids, idxPath,

@@ -88,7 +88,8 @@ object BlockDials {
     require(n >= 0, "count must be non-negative")
     require(targetList >= 1, "targetList must be >= 1")
     require(minLists >= 1, "minLists must be >= 1")
-    math.max(minLists.toLong, math.ceil(n / targetList.toDouble).toLong).toInt
+    math.min(Int.MaxValue.toLong, math.max(minLists.toLong,
+      math.ceil(n / targetList.toDouble).toLong)).toInt
   }
 
   /** Per-list occupancy cap for [[Similarity.writeIvfIndex]]'s
@@ -107,7 +108,10 @@ object BlockDials {
   def ivfListCap(n: Long, c: Int): Int = {
     require(n >= 0, "count must be non-negative")
     require(c >= 1, "list count must be >= 1")
-    math.max(1L, 2L * math.ceil(n / c.toDouble).toLong).toInt
+    // clamp before .toInt: at giant n/c the Long product would wrap to
+    // a negative/small cap via silent Int truncation (r19 advice)
+    math.min(Int.MaxValue.toLong,
+      math.max(1L, 2L * math.ceil(n / c.toDouble).toLong)).toInt
   }
 
   /** The two corpus stats the dials need, via one column-pruned agg

@@ -19,6 +19,13 @@ A query whose ORACLE exceeds it is recorded as a Spark-only row check
 instead of hanging the gate — at sf1 DuckDB cannot finish q45/q94
 (quadratic record-domain plans the engine's blocked operators avoid),
 and the honest artifact says exactly that rather than omitting them.
+When the cap is set, a typed duckdb.OutOfMemoryException downgrades
+the same way but is flagged "oracle_oom": true (with
+"oracle_timeout": false) — the two infeasibility classes are kept
+distinct in the artifact. Without the cap (the sf0.01 gate) an OOM is
+a hard FAIL. ORACLE_MEM_LIMIT (env, default 50% of physical RAM)
+bounds DuckDB's allocator so an over-budget oracle fails cleanly
+per-query instead of killing the whole gate process.
 """
 import json
 import sys
@@ -65,8 +72,16 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
     # AFTER exhausting process memory, which then kills the pyarrow read
     # of the NEXT query's spark output — the whole gate dies without
     # writing the artifact (r19). With the limit, the failure is a clean
-    # per-query OutOfMemoryException handled like a timeout below.
-    con.execute("SET memory_limit='64GB'")
+    # per-query OutOfMemoryException handled below. The limit must not
+    # be a host-specific constant (a fixed 64GB RAISES the cap above
+    # DuckDB's default on hosts with <80GB RAM, reinstating the exact
+    # failure this guards against — r19 advice): default to 50% of
+    # detected physical RAM, overridable via ORACLE_MEM_LIMIT.
+    mem_limit = os.environ.get("ORACLE_MEM_LIMIT")
+    if not mem_limit:
+        ram_b = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        mem_limit = f"{max(1, ram_b // 2 // (1 << 30))}GB"
+    con.execute(f"SET memory_limit='{mem_limit}'")
     for t in TABLES:
         # `t.parquet` may be a single file or a directory of part files
         # (make_scale_data.py's multi-file layout) — glob the latter.
@@ -107,29 +122,37 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
         except Exception as e:
             # Classify by elapsed time too: interrupt() may land without
             # the Timer body having appended yet.
-            oom = isinstance(e, duckdb.OutOfMemoryException) or \
-                "Out of Memory" in str(e)
-            if timed_out or oom or (
-                    timeout_s
-                    and time.monotonic() - started >= timeout_s):
+            # OOM downgrade: ONLY the typed exception counts (a broad
+            # "Out of Memory" substring match would catch wrapped errors
+            # and silently loosen the gate — r19 advice), and ONLY when a
+            # timeout cap is set, i.e. in the declared scale gates. In
+            # the capless sf0.01 gate an OOM is a hard FAIL: no oracle
+            # should outgrow RAM there, and passing it as a row check
+            # would hide a real defect.
+            oom = bool(timeout_s) and \
+                isinstance(e, duckdb.OutOfMemoryException)
+            timed = bool(timed_out) or (
+                timeout_s and time.monotonic() - started >= timeout_s)
+            if timed or oom:
                 # DuckDB could not finish inside the cap — wall-clock OR
-                # memory (same class of infeasibility, and the memory
-                # form would otherwise be hit by whichever oracle runs
-                # while the budget is tightest): keep the query in the
-                # artifact as a Spark-only row check, not a FAIL and not
-                # an omission.
+                # memory (same class of infeasibility): keep the query in
+                # the artifact as a Spark-only row check, not a FAIL and
+                # not an omission. oracle_timeout means timeout ONLY;
+                # memory infeasibility is oracle_oom (consumers keying on
+                # oracle_timeout must not misread OOM as wall-clock).
                 ok = len(got) > 0
                 if not ok:
                     failures += 1
-                why = ("out of memory" if oom and not timed_out
+                why = ("OUT OF MEMORY (typed OutOfMemoryException, "
+                       f"limit {mem_limit})" if oom and not timed
                        else f"timeout after {timeout_s:.0f}s")
                 print(f"{'spark-only' if ok else 'FAIL'} {name}: oracle "
                       f"{why} (spark {len(got)} rows)")
                 results[name] = {
                     "rows_match": ok, "schema_match": ok, "hash_match": ok,
                     "spark_rows": len(got), "oracle_rows": None,
-                    "oracle_timeout": True, "spark_only": True,
-                    "oracle_oom": bool(oom and not timed_out),
+                    "oracle_timeout": bool(timed), "spark_only": True,
+                    "oracle_oom": bool(oom and not timed),
                     "err": None if ok else f"oracle {why} and 0 spark rows"}
                 continue
             print(f"FAIL {name}: oracle error {e}")
