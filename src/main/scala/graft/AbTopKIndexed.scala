@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.{cosine, signBucket}
+import graft.functions.VectorFunctions.signBucket
 import graft.operators.{BlockDials, Similarity}
 
 /** A/B for capped near-neighbor mining: q120's sign-bucket blocking
@@ -30,6 +30,9 @@ object AbTopKIndexed {
     // experimental cap-multiplier override (dial study only; the
     // shipped dial is BlockDials.ivfListCap's 2x average)
     val capMult = if (args.length > 4) Some(args(4).toDouble) else None
+    // experimental probe in-degree cap (hub mitigation study, r19
+    // finding 2; 0 = shipped uncapped adjacency)
+    val inDegreeCap = if (args.length > 5) args(5).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -94,27 +97,16 @@ object AbTopKIndexed {
     val tWrite = (System.nanoTime() - t1) / 1e9
     val index = Similarity.readIvfIndex(spark, idxPath)
     def armB() = Similarity.cosineTopKIndexed(
-      index, centroids, K, T, nprobe = nprobe)
+      index, centroids, K, T, nprobe = nprobe, inDegreeCap = inDegreeCap)
     val (_, tB) = time(() => checksum(armB()))
-    // candidate volume: Σ over the operator's symmetric-closure
+    // candidate volume: Σ over the operator's OWN symmetric-closure
     // UNORDERED list pairs of |la|×|lb| (same-list pairs count
-    // n·(n−1)/2 — each scored once)
+    // n·(n−1)/2 — each scored once); probeAdjacency is the operator's
+    // adjacency, so this counts what the miner scores by construction
     val sizes = index.groupBy(col("list_id").cast("long").as("lid"))
       .count()
-    val cc = centroids.select(col("centroid_id"), col("centroid"))
-    val wadj = Window.partitionBy(col("a.centroid_id"))
-      .orderBy(col("d").desc, col("b.centroid_id"))
-    val lp = cc.as("a").crossJoin(cc.as("b"))
-      .withColumn("d", round(cosine(col("a.centroid"), col("b.centroid")), 9))
-      .withColumn("rn", row_number().over(wadj))
-      .filter(col("rn") <= nprobe)
-      .select(least(col("a.centroid_id"), col("b.centroid_id")).as("la"),
-        greatest(col("a.centroid_id"), col("b.centroid_id")).as("lb"))
-      // the operator unconditionally self-probes (identical-centroid
-      // guard) — mirror it so candB counts what the miner scores
-      .union(cc.select(col("centroid_id").as("la"),
-        col("centroid_id").as("lb")))
-      .distinct()
+    val lp = Similarity.probeAdjacency(centroids, nprobe,
+      inDegreeCap = inDegreeCap)
     val candB = lp
       .join(sizes.withColumnRenamed("lid", "la")
         .withColumnRenamed("count", "ns"), Seq("la"))
@@ -151,7 +143,7 @@ object AbTopKIndexed {
     println(f"""{"ab":"topk_indexed","sf":"$dir","n":$n,"reps":$reps,""" +
       f""""blocked":{"sec":$tA%.3f,"rows":${pairsA.size},"cands":$candA,"nbits":$nb},""" +
       f""""indexed":{"train_sec":$tTrain%.3f,"write_sec":$tWrite%.3f,"mine_sec":$tB%.3f,""" +
-      f""""rows":${pairsB.size},"cands":$candB,"lists":$c,"cap":$cap,"nprobe":$nprobe,"sample":$smp},""" +
+      f""""rows":${pairsB.size},"cands":$candB,"lists":$c,"cap":$cap,"nprobe":$nprobe,"in_degree_cap":$inDegreeCap,"sample":$smp},""" +
       s"""$recallJson}""")
     spark.stop()
   }

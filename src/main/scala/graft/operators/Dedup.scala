@@ -327,8 +327,7 @@ object Dedup {
       s"threshold must be in (0,1], got $threshold")
     require(chunks >= 1, "chunks must be >= 1")
     // distinct token hashes per doc (compact longs, as in jaccardPairs)
-    val toks = df.select(id.as("doc_id"),
-      array_distinct(transform(tokens(text), t => xxhash64(t))).as("th"))
+    val toks = distinctTokenHashes(df, id, text)
     val expl = toks.select(col("doc_id"), explode(col("th")).as("tok"))
     val dfreq = expl.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
     // rarity order: (df ASC, hash ASC) — struct array_sort is
@@ -400,6 +399,227 @@ object Dedup {
       .join(big, "b_id")
       // codegen'd merge scan with containment-target early exit (the
       // -1 abort makes the computed containment negative: self-filters)
+      .withColumn("inter",
+        sortedIntersectAtLeastFracLeftLong(
+          col("a_toks"), col("b_toks"), threshold))
+      .withColumn("containment",
+        col("inter").cast("double") / col("a_n").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("a_id").as("doc_small"), col("b_id").as("doc_big"),
+        col("containment"))
+  }
+
+  /** The three tables of a standing containment index (see
+    * [[writeContainmentIndex]]): corpus document frequencies (the
+    * frozen rarity order every batch agrees on), the rarity-ordered
+    * positional postings both probe directions scan, and the
+    * hash-sorted per-doc token arrays the exact verify phase needs.
+    */
+  final case class ContainmentIndex(dfreq: DataFrame, postings: DataFrame,
+                                    docs: DataFrame)
+
+  /** Distinct token hashes per doc — the shared map-only front of the
+    * containment operators: (doc_id, th: array<long>).
+    */
+  private def distinctTokenHashes(df: DataFrame, id: Column,
+                                  text: Column): DataFrame =
+    df.select(id.as("doc_id"),
+      array_distinct(transform(tokens(text), t => xxhash64(t))).as("th"))
+
+  /** Materialize the standing-corpus side of INCREMENTAL containment
+    * dedup once — the form [[containmentPairs]]'s own scale analysis
+    * prescribes (exact all-pairs containment is Θ(n²/V) by problem
+    * structure; the incremental form pays per-batch cost linear in the
+    * corpus). Three parquet tables under `path`:
+    *  - `dfreq`    (tok, tdf): corpus document frequencies — the
+    *    FROZEN total rarity order (tdf ASC, tok ASC) every future
+    *    batch orders by, so corpus postings never re-sort;
+    *  - `postings` (doc_id, n, pos, tok): each corpus doc's distinct
+    *    token hashes posexploded in rarity order — the inverted index;
+    *    prefix rows are the `pos`-filtered subset, so one table serves
+    *    both probe directions;
+    *  - `docs`     (doc_id, n, stoks): hash-sorted token arrays for
+    *    the exact-verify merge scan.
+    * One-time offline build (three actions re-scan the corpus text —
+    * a backfill cost, not a per-batch one); plain unpartitioned
+    * parquet, same rationale as [[writeBucketIndex]]: the batch side
+    * broadcasts into the probe joins, so no index layout could be
+    * exploited anyway.
+    */
+  def writeContainmentIndex(corpus: DataFrame, id: Column, text: Column,
+                            path: String): Unit = {
+    val toks = distinctTokenHashes(corpus, id, text)
+    val expl = toks.select(col("doc_id"), explode(col("th")).as("tok"))
+    expl.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
+      .write.mode("overwrite").parquet(path + "/dfreq")
+    // read the materialized df table back rather than recomputing the
+    // vocabulary aggregation inside the postings plan
+    val dfreq = corpus.sparkSession.read.parquet(path + "/dfreq")
+    val rarity = expl.join(dfreq, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("tdf"), col("tok"))))
+        .as("rt"))
+      .select(col("doc_id"),
+        transform(col("rt"), s => s.getField("tok")).as("rtoks"))
+    val docs = toks
+      .select(col("doc_id"), array_sort(col("th")).as("stoks"))
+      .join(rarity, "doc_id")
+      .withColumn("n", size(col("stoks")))
+      .filter(col("n") > 0)
+    docs.select(col("doc_id"), col("n"),
+        posexplode(col("rtoks")).as(Seq("pos", "tok")))
+      .write.mode("overwrite").parquet(path + "/postings")
+    docs.select(col("doc_id"), col("n"), col("stoks"))
+      .write.mode("overwrite").parquet(path + "/docs")
+  }
+
+  /** Read a [[writeContainmentIndex]] layout back. */
+  def readContainmentIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String): ContainmentIndex =
+    ContainmentIndex(
+      spark.read.parquet(path + "/dfreq"),
+      spark.read.parquet(path + "/postings"),
+      spark.read.parquet(path + "/docs"))
+
+  /** Incremental containment dedup: all pairs (doc_small, doc_big,
+    * containment >= threshold) with one side in the NEW batch and the
+    * other in the indexed corpus — [[containmentPairs]] restricted to
+    * batch×corpus pairs (pinned equal in OperatorsSpec), without ever
+    * re-enumerating corpus×corpus. Both orientations are found: a new
+    * doc contained in corpus content AND corpus docs contained in the
+    * new doc.
+    *
+    * Same SSJoin/PPJoin prefix-filter completeness as the batch form,
+    * under the CORPUS's frozen rarity order (batch tokens the corpus
+    * has never seen get tdf 0 — rarest; they can match nothing, and
+    * the prefix lemma holds under ANY total order both sides share,
+    * so freezing the statistic loses no pairs — the verify phase is
+    * exact either way).
+    *
+    * Scale posture (the point of the operator): per-batch cost is
+    * LINEAR in corpus size — direction 1 streams the postings scan
+    * past the broadcast batch prefixes, direction 2 streams the
+    * pos-filtered prefix subset of the same scan past the broadcast
+    * batch postings; the corpus is never shuffled and never joined to
+    * itself, which is where the batch form's Θ(n²/V) lives. The only
+    * vocabulary-sized work is the tdf attach (one equi-join against
+    * `dfreq` per batch). An oversized batch (someone replaying a month
+    * as one "batch") degrades to the salted shuffle joins of
+    * [[containmentPairs]] instead of failing on the broadcast limit;
+    * `broadcastBatch` overrides the size estimate in either direction,
+    * same accountability contract as [[incrementalDedupIndexed]].
+    */
+  def containmentProbeIncremental(index: ContainmentIndex,
+                                  batch: DataFrame, id: Column,
+                                  text: Column, threshold: Double,
+                                  chunks: Int = 32,
+                                  broadcastBatch: Option[Boolean] = None)
+      : DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    require(chunks >= 1, "chunks must be >= 1")
+    val toks = distinctTokenHashes(batch, id, text)
+    val expl = toks.select(col("doc_id"), explode(col("th")).as("tok"))
+    // rarity order under the corpus's frozen statistics; unseen
+    // tokens coalesce to tdf 0 (sort first, match nothing)
+    val rarity = expl.join(index.dfreq, Seq("tok"), "left")
+      .withColumn("tdf", coalesce(col("tdf"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("tdf"), col("tok"))))
+        .as("rt"))
+      .select(col("doc_id"),
+        transform(col("rt"), s => s.getField("tok")).as("rtoks"))
+    val bdocs = toks
+      .select(col("doc_id"), array_sort(col("th")).as("stoks"))
+      .join(rarity, "doc_id")
+      .withColumn("n", size(col("stoks")))
+      .filter(col("n") > 0)
+    // size-gate on the compact per-doc frame (the exploded probe and
+    // postings forms below are the same magnitude in bytes — one long
+    // per token either way)
+    val bcThreshold: Long =
+      batch.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    lazy val batchBytes =
+      bdocs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val doBroadcast = broadcastBatch.getOrElse(
+      bcThreshold >= 0 && batchBytes <= bcThreshold)
+    val nParts =
+      batch.sparkSession.sessionState.conf.numShufflePartitions
+    val prefLen =
+      (floor(lit(1.0 - threshold) * col("n")) + lit(2)).cast("int")
+    // ---- direction 1: batch doc is the SMALL side ----
+    // batch prefixes probe the corpus postings; the index side's
+    // positional bound is the both-prefix lemma, as in the batch form
+    val bprobe = bdocs.select(col("doc_id").as("a_id"),
+      col("n").as("a_n"),
+      explode(slice(col("rtoks"), lit(1), prefLen)).as("tok"))
+    val cpost = index.postings.select(col("doc_id").as("b_id"),
+      col("n").as("b_n"), col("pos").as("pos_b"), col("tok"))
+    val sizeOrder = col("a_n") < col("b_n") ||
+      (col("a_n") === col("b_n") && col("a_id") < col("b_id"))
+    val bBound = col("pos_b") + 1 <=
+      col("b_n") - floor(lit(threshold) * col("a_n")) + lit(2)
+    val cand1 =
+      if (doBroadcast)
+        cpost.join(broadcast(bprobe),
+          cpost("tok") === bprobe("tok") && bBound && sizeOrder)
+          .select(col("a_id"), col("b_id"))
+      else {
+        val cs = cpost
+          .withColumn("__salt",
+            pmod(xxhash64(col("b_id")), lit(chunks)).cast("int"))
+          .repartition(nParts, col("tok"), col("__salt"))
+        val bs = bprobe
+          .withColumn("__salt",
+            explode(sequence(lit(0), lit(chunks - 1))))
+          .repartition(nParts, col("tok"), col("__salt"))
+        cs.join(bs, cs("tok") === bs("tok") &&
+            cs("__salt") === bs("__salt") && bBound && sizeOrder)
+          .select(col("a_id"), col("b_id"))
+      }
+    // ---- direction 2: corpus doc is the SMALL side ----
+    // the corpus probe prefixes are the pos-filtered subset of the
+    // SAME postings scan (prefix length is the corpus doc's own
+    // floor((1-t)·n)+2); the batch postings are the index side
+    val cprobe = index.postings
+      .filter(col("pos") + 1 <=
+        floor(lit(1.0 - threshold) * col("n")) + lit(2))
+      .select(col("doc_id").as("a_id"), col("n").as("a_n"), col("tok"))
+    val bpost = bdocs.select(col("doc_id").as("b_id"),
+      col("n").as("b_n"), posexplode(col("rtoks")).as(Seq("pos_b", "tok")))
+    val cand2 =
+      if (doBroadcast)
+        cprobe.join(broadcast(bpost),
+          cprobe("tok") === bpost("tok") && bBound && sizeOrder)
+          .select(col("a_id"), col("b_id"))
+      else {
+        val cs = cprobe
+          .withColumn("__salt",
+            pmod(xxhash64(col("a_id")), lit(chunks)).cast("int"))
+          .repartition(nParts, col("tok"), col("__salt"))
+        val bs = bpost
+          .withColumn("__salt",
+            explode(sequence(lit(0), lit(chunks - 1))))
+          .repartition(nParts, col("tok"), col("__salt"))
+        cs.join(bs, cs("tok") === bs("tok") &&
+            cs("__salt") === bs("__salt") && bBound && sizeOrder)
+          .select(col("a_id"), col("b_id"))
+      }
+    // the two directions are disjoint by the size order (an unordered
+    // batch×corpus pair lands in exactly one), but each surfaces a
+    // pair once per shared prefix token — dedup the skinny ids before
+    // attaching arrays, as in the batch form
+    val candidates = cand1.union(cand2).distinct()
+    val lookup = bdocs.select(col("doc_id"), col("n"), col("stoks"))
+      .unionByName(index.docs.select(col("doc_id"), col("n"),
+        col("stoks")))
+    val small = lookup.select(col("doc_id").as("a_id"),
+      col("n").as("a_n"), col("stoks").as("a_toks"))
+    val big = lookup.select(col("doc_id").as("b_id"),
+      col("stoks").as("b_toks"))
+    candidates
+      .join(small, "a_id")
+      .join(big, "b_id")
       .withColumn("inter",
         sortedIntersectAtLeastFracLeftLong(
           col("a_toks"), col("b_toks"), threshold))

@@ -266,7 +266,9 @@ object GraftExtensions {
     * the identical optimized shape. Only operators whose dials are
     * plain literals are exposed — the size-derived-dial variants
     * (BlockDials) run a driver action, which a function expansion
-    * inside analysis must not do.
+    * inside analysis must not do (one documented exception:
+    * graft_near_dup_indexed, whose CC fixpoint is iterative by
+    * nature — see its registration comment).
     */
   val tableFunctions: Seq[(String, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] = {
@@ -359,7 +361,56 @@ object GraftExtensions {
             strLit("graft_cosine_topk", "vecCol", es, 2),
             intLit("graft_cosine_topk", "k", es, 3),
             doubleLit("graft_cosine_topk", "threshold", es, 4),
-            intLit("graft_cosine_topk", "nbits", es, 5))))))
+            intLit("graft_cosine_topk", "nbits", es, 5))))),
+      // The IVF-INDEXED miners — the production decision path (q124/
+      // q125: >= 0.95 planted recall where the sign-bucket miners
+      // above measure 0.70-0.78 on clustered corpora, RecallSpec) for
+      // pure-SQL users. Both take the MATERIALIZED index layout as
+      // views (the writeIvfIndex parquet — `item_id, cv, cn, list_id`
+      // — and its centroids `centroid_id, centroid`), reachable in
+      // pure SQL via `CREATE TEMP VIEW idx AS SELECT * FROM
+      // parquet.`/path``: probing a standing index is the production
+      // shape (the in-query build is the one-off backfill, a Scala/
+      // offline job), and it keeps these expansions action-free.
+      ("graft_ivf_qualifying_pairs", tfInfo("graft_ivf_qualifying_pairs"),
+        arityT("graft_ivf_qualifying_pairs", 4)(es =>
+          plan(graft.operators.Similarity.indexedQualifyingPairs(
+            activeTable(strLit("graft_ivf_qualifying_pairs",
+              "indexView", es, 0)),
+            activeTable(strLit("graft_ivf_qualifying_pairs",
+              "centroidsView", es, 1)),
+            doubleLit("graft_ivf_qualifying_pairs", "threshold", es, 2),
+            intLit("graft_ivf_qualifying_pairs", "nprobe", es, 3))))),
+      ("graft_cosine_topk_indexed", tfInfo("graft_cosine_topk_indexed"),
+        arityT("graft_cosine_topk_indexed", 5)(es =>
+          plan(graft.operators.Similarity.cosineTopKIndexed(
+            activeTable(strLit("graft_cosine_topk_indexed",
+              "indexView", es, 0)),
+            activeTable(strLit("graft_cosine_topk_indexed",
+              "centroidsView", es, 1)),
+            intLit("graft_cosine_topk_indexed", "k", es, 2),
+            doubleLit("graft_cosine_topk_indexed", "threshold", es, 3),
+            intLit("graft_cosine_topk_indexed", "nprobe", es, 4))))),
+      // The DOCUMENTED EXCEPTION to the action-free expansion
+      // contract: star-contraction CC is a convergence-checked
+      // fixpoint (rounds are data-dependent, so no pure plan can
+      // express it), and near-dup COMPONENTS — not pairs — are what a
+      // dedup decision needs. Expanding it runs the fixpoint eagerly
+      // at analysis time and embeds the Θ(n) label result (over
+      // checkpointed blocks) as the plan; re-analyzing the same SQL
+      // recomputes it. A pure-plan alternative for SQL users who
+      // refuse the eager form: graft_ivf_qualifying_pairs +
+      // WITH RECURSIVE min-label propagation (the q125 oracle's
+      // shape).
+      ("graft_near_dup_indexed", tfInfo("graft_near_dup_indexed"),
+        arityT("graft_near_dup_indexed", 4)(es =>
+          plan(graft.operators.Similarity.nearDupComponentsIndexed(
+            activeTable(strLit("graft_near_dup_indexed",
+              "indexView", es, 0)),
+            activeTable(strLit("graft_near_dup_indexed",
+              "centroidsView", es, 1)),
+            doubleLit("graft_near_dup_indexed", "threshold", es, 2),
+            intLit("graft_near_dup_indexed", "nprobe", es, 3))))))
   }
 
   /** Register into an existing session's temp registries (scalar and

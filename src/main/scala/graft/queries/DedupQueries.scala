@@ -371,6 +371,53 @@ object DedupQueries extends Catalog {
               |  MIN(doc_big) AS first_container
               |FROM pairs WHERE containment >= 0.9
               |GROUP BY doc_small
-              |ORDER BY doc_small""".stripMargin))
+              |ORDER BY doc_small""".stripMargin)),
+
+    // INCREMENTAL containment dedup — the form q115's own Θ(n²/V)
+    // root-cause prescribes at corpus scale: the day's batch
+    // (doc_id % 10 = 0) probes a standing rarity-prefix postings
+    // index of the corpus, both orientations, without ever
+    // re-enumerating corpus×corpus. The oracle brute-forces every
+    // batch×corpus ordered pair, so the hash-match proves the frozen
+    // corpus-df prefix filter loses nothing.
+    Q("q126_containment_probe_incremental",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        // index path keyed by the input dir so concurrent gates never
+        // race on one directory (same contract as q122's IVF index)
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_))
+          .mkString.take(12)
+        val path = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_q126_containment_index_$tag").getAbsolutePath
+        Dedup.writeContainmentIndex(
+          d.filter(col("doc_id") % 10 =!= 0), col("doc_id"),
+          col("text"), path)
+        Dedup.containmentProbeIncremental(
+            Dedup.readContainmentIndex(s, path),
+            d.filter(col("doc_id") % 10 === 0),
+            col("doc_id"), col("text"), threshold = 0.9)
+          .select(col("doc_small"), col("doc_big"),
+            round(col("containment"), 6).as("containment"))
+          .orderBy(col("doc_small"), col("doc_big"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+              |    list_distinct($duckToks) AS toks FROM documents),
+              |nz AS (SELECT doc_id, toks, len(toks) AS n
+              |  FROM d WHERE len(toks) > 0),
+              |pairs AS (
+              |  SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+              |    CAST(len(list_filter(a.toks,
+              |        t -> list_contains(b.toks, t))) AS DOUBLE)
+              |      / a.n AS containment
+              |  FROM nz a JOIN nz b
+              |    ON (a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id))
+              |   AND ((a.doc_id % 10 = 0) <> (b.doc_id % 10 = 0)))
+              |SELECT doc_small, doc_big,
+              |  ROUND(containment, 6) AS containment
+              |FROM pairs WHERE containment >= 0.9
+              |ORDER BY doc_small, doc_big""".stripMargin),
+      bench = false) // dominated by the one-time index build; the
+                     // probe-vs-batch speedup is measured in PLANS.md
   )
 }

@@ -586,6 +586,39 @@ object SimilarityQueries extends Catalog {
                       // scale; its scale evidence is the sf10 props
                       // gate + the RecallSpec recall law
 
+    // q125's decision path reached PURELY THROUGH SQL: the same
+    // index build, then temp views over the materialized layout and
+    // `graft_near_dup_indexed` doing the probe + CC (plans/
+    // GraftExtensions). Same DuckDB oracle as q125 — the hash gate
+    // proves the SQL surface returns byte-identical verdicts, not a
+    // parallel implementation (SqlSurfaceSpec pins the plan-level
+    // equality; this oracles the path end-to-end).
+    Q("q127_sql_near_dup_indexed",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val n = e.count()
+        val c = BlockDials.ivfLists(n)
+        val smp = math.min(n, 50L * c).toInt
+        val sample = e.orderBy(col("vec_id")).limit(smp)
+        val centroids = Similarity.trainCentroids(
+          sample, "vec_id", "embedding", k = c, iters = 2)
+        val path = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_q127_ivf_nd_${dirTag(dir)}").getAbsolutePath
+        Similarity.writeIvfIndex(e, "vec_id", "embedding", centroids, path,
+          listCap = BlockDials.ivfListCap(n, c))
+        graft.plans.GraftExtensions.register(s)
+        Similarity.readIvfIndex(s, path)
+          .createOrReplaceTempView("q127_ivf_index")
+        centroids.createOrReplaceTempView("q127_ivf_centroids")
+        s.sql("""SELECT v AS vec_id, component,
+                |  (v = component) AS survivor
+                |FROM graft_near_dup_indexed(
+                |  'q127_ivf_index', 'q127_ivf_centroids', 0.45D, 2)
+                |ORDER BY vec_id""".stripMargin)
+      },
+      Some(duckNearDupIndexed),
+      bench = false), // same fixpoint economics as q125
+
     Q("q53_vector_stats",
       (s, dir) => Tables.load(s, dir, "embeddings")
         .select(

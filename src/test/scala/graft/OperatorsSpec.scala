@@ -391,6 +391,48 @@ class OperatorsSpec extends SparkSpec {
     assert(loose == brute)
   }
 
+  test("containmentProbeIncremental equals containmentPairs restricted " +
+    "to batch×corpus pairs") {
+    // random corpus over a small vocab (many accidental containments at
+    // the loose threshold), plus planted cases that pin every path at
+    // the strict one: a batch doc quoted inside a corpus doc
+    // (direction 1), a corpus doc quoted inside a batch doc
+    // (direction 2), and a batch doc carrying tokens the corpus has
+    // never seen (the frozen-df tdf-0 ordering path)
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val base = (1L to 120L).map { i =>
+      val n = 3 + rnd.nextInt(12)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toMap
+    val planted = base ++ Map(
+      8L -> (base(3L) + " extra1 extra2 extra3 extra4 extra5"), // dir 2
+      12L -> base(5L).split(" ").distinct.take(3).mkString(" "), // dir 1
+      16L -> ("zzz yyy xxx " + base(7L))) // unseen batch tokens
+    val all = planted.toSeq.toDF("doc_id", "text")
+    val corpus = all.filter($"doc_id" % 4 =!= 0)
+    val batch = all.filter($"doc_id" % 4 === 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_cidx_spec").toString
+    Dedup.writeContainmentIndex(corpus, $"doc_id", $"text", path)
+    val idx = Dedup.readContainmentIndex(spark, path)
+    for (t <- Seq(0.5, 0.9); bc <- Seq(Some(true), Some(false))) {
+      val got = Dedup.containmentProbeIncremental(idx, batch,
+          $"doc_id", $"text", t, chunks = 3, broadcastBatch = bc)
+        .as[(Long, Long, Double)].collect().toSet
+      val want = Dedup.containmentPairs(all, $"doc_id", $"text", t)
+        .filter(($"doc_small" % 4 === 0) =!= ($"doc_big" % 4 === 0))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == want, s"t=$t broadcastBatch=$bc")
+      if (t == 0.9) {
+        val pairs = got.map(p => (p._1, p._2))
+        assert(pairs.contains((12L, 5L)) || pairs.contains((5L, 12L)),
+          "planted direction-1 pair missing")
+        assert(pairs.contains((3L, 8L)), "planted direction-2 pair missing")
+      }
+    }
+  }
+
   implicit class Tuple3Ops(rows: Array[(String, String, Int)]) {
     def toMap2: Map[String, (String, Int)] =
       rows.map(r => r._1 -> ((r._2, r._3))).toMap

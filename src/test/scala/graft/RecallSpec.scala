@@ -116,6 +116,39 @@ class RecallSpec extends SparkSpec {
         "a dial/blocking change silently under-merges near-duplicates")
   }
 
+  test("RECALL LAW: indexed top-k mining surfaces >= 0.95 of planted " +
+    "origs in the dup's top-k") {
+    // q124's exact production dials (queries.SimilarityQueries
+    // .topKDials + the size-derived IVF dials + occupancy cap) — the
+    // gap the r19 verdict named: cosineTopKIndexed's recall lived only
+    // in the A/B trail, so a dial change could regress it with every
+    // gate green. A planted clone sits at cos >= ~0.999, so its orig
+    // belongs in its top-k at any sane dial; misses measure BLOCKING
+    // loss (dup and orig in non-adjacent lists), the quantity to gate.
+    val e = corpus
+    val n = e.count()
+    val (k, t) = graft.queries.SimilarityQueries.topKDials
+    val c = BlockDials.ivfLists(n)
+    val smp = math.min(n, 50L * c).toInt
+    val centroids = Similarity.trainCentroids(
+      e.orderBy($"vec_id").limit(smp), "vec_id", "embedding",
+      k = c, iters = 2)
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_spec_recall_topk").getAbsolutePath
+    Similarity.writeIvfIndex(e, "vec_id", "embedding", centroids, path,
+      listCap = BlockDials.ivfListCap(n, c))
+    val got = Similarity.cosineTopKIndexed(
+        Similarity.readIvfIndex(spark, path), centroids,
+        k = k, threshold = t, nprobe = 2)
+      .select($"doc_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val rec = planted.count(got.contains).toDouble / planted.size
+    info(f"planted=${planted.size} lists=$c k=$k topk_recall=$rec%.4f")
+    assert(rec >= 0.95,
+      f"indexed top-k planted recall $rec%.4f < 0.95 — a dial change " +
+        "silently drops true near-duplicates from the mined top-k")
+  }
+
   test("RECALL LAW: multi-probe H<=1 surfaces >= 0.95 of planted origs") {
     val e = corpus
     val n = e.count()

@@ -287,6 +287,40 @@ class SimilaritySpec extends SparkSpec {
       s"self-probe lost on identical centroids: $pairs")
   }
 
+  test("probeAdjacency in-degree cap: structural invariants hold") {
+    // a deliberate hub topology: c0 is every other centroid's nearest
+    // partner; c1..c5 are pairwise less similar than each is to c0
+    val hub = Seq(1.0, 0.0, 0.0, 0.0)
+    val dirs = Seq(
+      Seq(0.9, 0.436, 0.0, 0.0), Seq(0.9, 0.0, 0.436, 0.0),
+      Seq(0.9, 0.0, 0.0, 0.436), Seq(0.9, -0.436, 0.0, 0.0),
+      Seq(0.9, 0.0, -0.436, 0.0))
+    val cents = ((0L, hub) +: dirs.zipWithIndex.map {
+      case (v, i) => ((i + 1).toLong, v)
+    }).toDF("centroid_id", "centroid")
+    def pairs(cap: Int): Set[(Long, Long)] =
+      Similarity.probeAdjacency(cents, nprobe = 2, inDegreeCap = cap)
+        .as[(Long, Long)].collect().toSet
+    val uncapped = pairs(0)
+    val capped = pairs(1)
+    val selfPairs = (0L to 5L).map(i => (i, i)).toSet
+    // every list always probes itself, capped or not
+    assert(selfPairs.subsetOf(uncapped) && selfPairs.subsetOf(capped))
+    // the starved-prober fallback: no list loses non-self probing
+    // entirely under the cap (the uncapped recall-floor guarantee)
+    val nonSelf = capped -- selfPairs
+    (0L to 5L).foreach { i =>
+      assert(nonSelf.exists(p => p._1 == i || p._2 == i),
+        s"list $i lost all non-self probing under the in-degree cap")
+    }
+    // deterministic: identical on re-invocation
+    assert(pairs(1) == capped)
+    // cap off reproduces the uncapped hub star exactly: 5 pairs, all
+    // touching the hub
+    assert(uncapped -- selfPairs ==
+      (1L to 5L).map(i => (0L, i)).toSet)
+  }
+
   test("nearDupComponents == min-label CC over the blocked pair set") {
     val e = Tables.load(spark, dir, "embeddings")
     val (t, nbits) = (0.3, 2)

@@ -199,6 +199,48 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(hit == 1L)
   }
 
+  test("IVF-indexed miners via SQL == Scala twins (pairs, topk, " +
+    "components)") {
+    import graft.operators.Similarity
+    // clustered fixture: 3 tight cones, so the decision path has real
+    // components and the probe adjacency has real off-list pairs
+    val rnd = new scala.util.Random(11)
+    val centers =
+      Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+        Seq(0.0, 0.0, 1.0, 0.0))
+    val vecs = (0L until 60L).map { i =>
+      val c = centers((i % 3).toInt)
+      (i, c.map(x => x + rnd.nextGaussian() * 0.08))
+    }.toDF("vec_id", "embedding")
+    val centroids = Similarity.trainCentroids(
+      vecs, "vec_id", "embedding", k = 3, iters = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sql_ivf_spec").toString
+    Similarity.writeIvfIndex(vecs, "vec_id", "embedding", centroids,
+      path, listCap = 40)
+    val idx = Similarity.readIvfIndex(spark, path)
+    idx.createOrReplaceTempView("sql_ivf_index")
+    centroids.createOrReplaceTempView("sql_ivf_centroids")
+    sameAs(
+      """SELECT * FROM graft_ivf_qualifying_pairs(
+        |  'sql_ivf_index', 'sql_ivf_centroids', 0.8D, 2)""".stripMargin,
+      Similarity.indexedQualifyingPairs(idx, centroids, 0.8, 2))
+    sameAs(
+      """SELECT * FROM graft_cosine_topk_indexed(
+        |  'sql_ivf_index', 'sql_ivf_centroids', 5, 0.8D, 2)""".stripMargin,
+      Similarity.cosineTopKIndexed(idx, centroids, 5, 0.8, 2))
+    sameAs(
+      """SELECT * FROM graft_near_dup_indexed(
+        |  'sql_ivf_index', 'sql_ivf_centroids', 0.9D, 2)""".stripMargin,
+      Similarity.nearDupComponentsIndexed(idx, centroids, 0.9, 2))
+    // and the near-dup labels actually merge the planted cones
+    val comps = spark.sql(
+      """SELECT COUNT(DISTINCT component) FROM graft_near_dup_indexed(
+        |  'sql_ivf_index', 'sql_ivf_centroids', 0.9D, 2)""".stripMargin)
+      .as[Long].head()
+    assert(comps <= 6L, s"expected ~3 cone components, got $comps")
+  }
+
   test("bad arguments fail analysis loudly, naming the function") {
     val wrongArity = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT * FROM graft_exact_dedup('sql_keyed')").collect()
