@@ -55,7 +55,14 @@ FAMILY+="q122_ann_ivf_probe,"
 FAMILY+="q123_curation_pipeline,q124_cosine_topk_indexed,"
 # round 19: the indexed dedup DECISION path (q121's production form —
 # recall law in RecallSpec, CC laws in ScaleProps)
-FAMILY+="q125_near_dup_indexed"
+FAMILY+="q125_near_dup_indexed,"
+# round 20: the SQL surface of the same decision path (expects the
+# same oracle timeout → spark-only row; the point is that the SQL
+# expansion completes at 100× on the capped layout). q126
+# (incremental containment) is EXCLUDED for q115's reason: the dense
+# synthetic vocab makes its batch×corpus result set itself ~quadratic;
+# its scale evidence is the realistic-vocab A/B (AbIncContainment).
+FAMILY+="q127_sql_near_dup_indexed"
 OUT=/tmp/verify_sf10
 SPARK_GRAFT_VERIFY_ONLY="$FAMILY" SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Verify testdata/sf10 $OUT" >/dev/null

@@ -20,8 +20,12 @@ OUT=/tmp/verify_sf1
 # (56% of all ordered pairs qualify at t=0.9 — see PLANS.md), so its
 # sf1 run is excluded the way q45/q94's oracles are timeout-capped:
 # explicitly. It stays hash-gated at sf0.01/sf0.1 where both engines
-# complete.
-SKIP="${SPARK_GRAFT_VERIFY_SKIP:-q115_containment_dedup}"
+# complete. q126 (incremental containment) inherits the same vocab
+# pathology on its batch×corpus restriction (~18% of q115's pair set —
+# still ~10⁸ rows at sf1); its scale evidence is the realistic-vocab
+# A/B (graft.AbIncContainment, PLANS.md r20) where the result set is
+# sane and the probe arm is measured against the all-pairs arm.
+SKIP="${SPARK_GRAFT_VERIFY_SKIP:-q115_containment_dedup,q126_containment_probe_incremental}"
 SPARK_GRAFT_VERIFY_ONLY="$ONLY" SPARK_GRAFT_VERIFY_SKIP="$SKIP" \
   SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Verify testdata/sf1 $OUT" >/dev/null
