@@ -508,6 +508,14 @@ object Dedup {
     * [[containmentPairs]] instead of failing on the broadcast limit;
     * `broadcastBatch` overrides the size estimate in either direction,
     * same accountability contract as [[incrementalDedupIndexed]].
+    *
+    * Measured contract (AbIncContainment, PLANS.md r20): built for
+    * batches ≪ corpus — at a fixed 5 k-doc batch the probe is 2.4×
+    * faster than the all-pairs form at realdocs_sf3 and grows
+    * sublinearly with the corpus; at batch = 10% of the corpus the
+    * advantage is gone (the degrade path's replication costs what the
+    * avoided corpus×corpus enumeration saved). A corpus-sized replay
+    * belongs on [[containmentPairs]], per-cluster.
     */
   def containmentProbeIncremental(index: ContainmentIndex,
                                   batch: DataFrame, id: Column,
