@@ -142,6 +142,26 @@ class PlansSpec extends SparkSpec {
       s"codegen'd containment verify missing:\n$p")
   }
 
+  test("q126: batch broadcasts into the postings scans; corpus side " +
+    "never sort-merge-joined") {
+    // the incremental-containment contract: per-batch cost linear in
+    // the corpus because the batch side BROADCASTS into both probe
+    // directions and the candidate/attach joins — the corpus postings
+    // and docs tables stream map-only. A SortMergeJoin anywhere means
+    // a corpus-sized sort+shuffle crept in (the Θ(n²/V) batch form's
+    // cost model, exactly what this operator exists to avoid). The
+    // vocab-sized dfreq attach is the one legitimately degradable
+    // join (scaladoc'd); at this scale it must broadcast too.
+    val p = plan("q126_containment_probe_incremental")
+    assert(p.contains("BroadcastHashJoin"),
+      s"batch side no longer broadcast into the postings scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus side sort-merge-joined:\n$p")
+    // the codegen'd containment merge scan still gates the output
+    assert(p.contains("sorted_intersect_at_least_frac_left_long"),
+      s"codegen'd containment verify missing:\n$p")
+  }
+
   test("q117: sketch paths carry no data-sized exchange") {
     val p = plan("q117_kmv_merge")
     // the partial KMV sketches bound every exchange to K rows per
