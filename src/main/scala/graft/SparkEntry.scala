@@ -62,5 +62,6 @@ object SparkEntry {
     "q107_mixture_resample", "q108_source_pctl_filter",
     "q109_incremental_dedup", "q111_image_decode", "q112_audio_decode",
     "q113_video_decode", "q114_budget_select", "q117_kmv_merge",
-    "q118_rolling_dedup", "q120_cosine_topk", "q122_ann_ivf_probe")
+    "q118_rolling_dedup", "q120_cosine_topk", "q122_ann_ivf_probe",
+    "q128_bloom_decontam", "q129_dup_span_windows")
 }

@@ -210,6 +210,55 @@ object Dedup {
   def simhashFingerprints(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("doc_id"), simhash16(text).as("simhash"))
 
+  /** Span-level duplicate statistics — the fixed-granularity
+    * relational form of exact-substring dedup (Lee et al. 2022,
+    * arXiv:2107.06499): every sliding `windowLen`-token window of
+    * every document is hashed POSITIONALLY (duplicates kept — a span
+    * repeated within one document is still a duplicated span), a
+    * window is duplicated when its hash occurs more than once in the
+    * whole corpus, and each document reports how much of it is
+    * made of duplicated spans. Downstream curation drops or trims
+    * documents by `dup_ratio` instead of whole-doc near-dup equality —
+    * the signal that catches boilerplate headers, licence blocks and
+    * quoted reposts that document-level MinHash misses.
+    *
+    * Output: one row per doc — `n_windows`, `n_dup_windows`,
+    * `dup_ratio` (null when the doc is shorter than the window).
+    *
+    * Scale shape (100 TB): map-only window hashing (one-pass
+    * [[graft.functions.expressions.WindowMd5]]; hashes travel as
+    * fixed 32-byte md5 hex, never raw text) → one map-side-combinable
+    * hash aggregation on the window hash (the shuffle carries
+    * distinct hashes with counts, not occurrences) → a join back on
+    * the hash to re-attach per-position rows (AQE broadcasts the
+    * count table when it is small and skew-splits the boilerplate
+    * hot keys — a window shared by millions of docs skews the JOIN
+    * key, not the aggregation, which combined map-side) → final
+    * per-doc aggregation. No pair table is ever materialized: unlike
+    * pairwise dedup this is linear in corpus size by construction.
+    */
+  def dupSpanStats(df: DataFrame, id: Column, text: Column,
+                   windowLen: Int): DataFrame = {
+    import graft.functions.expressions.WindowMd5.windowMd5
+    val exploded = df
+      .select(id.as("doc_id"),
+        explode_outer(windowMd5(tokens(text), windowLen)).as("whash"))
+    val counts = exploded
+      .filter(col("whash").isNotNull)
+      .groupBy(col("whash"))
+      .agg(count(lit(1)).as("occ"))
+    exploded
+      .join(counts, Seq("whash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("whash")).as("n_windows"),
+        count(when(col("occ") > 1, lit(1))).as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        when(col("n_windows") > 0,
+          round(col("n_dup_windows").cast("double")
+            / col("n_windows"), 9)))
+  }
+
   /** Blocked n-gram (token-set) Jaccard pairs: docs are first bucketed
     * by `blockKeys` (cheap equality blocking — at scale this would be
     * the LSH candidates instead), pairs inside a block are scored by

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
-import graft.functions.expressions.{ChunkMd5, DotProduct, MultiMinHash, ShingleMd5, SortedIntersectAtLeastFracLeftLong, SortedIntersectAtLeastLong, SortedIntersectCount, SortedIntersectCountLong, TokenFingerprint, TokenPairs}
+import graft.functions.expressions.{ChunkMd5, DotProduct, MultiMinHash, ShingleMd5, SortedIntersectAtLeastFracLeftLong, SortedIntersectAtLeastLong, SortedIntersectCount, SortedIntersectCountLong, TokenFingerprint, TokenPairs, WindowMd5}
 
 /** SQL-surface registration of the engine's custom expressions, so
   * `spark.sql("SELECT token_fingerprint(lower(text)) …")` works — and
@@ -128,6 +128,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[ChunkMd5].getName, "chunk_md5"),
       arity("chunk_md5", 2)(es => ChunkMd5(es.head,
         intLit("chunk_md5", "chunkLen", es, 1)))),
+    ("window_md5",
+      new ExpressionInfo(classOf[WindowMd5].getName, "window_md5"),
+      arity("window_md5", 2)(es => WindowMd5(es.head,
+        intLit("window_md5", "windowLen", es, 1)))),
     ("token_pairs",
       new ExpressionInfo(classOf[TokenPairs].getName, "token_pairs"),
       arity("token_pairs", 1)(es => TokenPairs(es.head))),
@@ -362,6 +366,26 @@ object GraftExtensions {
             intLit("graft_cosine_topk", "k", es, 3),
             doubleLit("graft_cosine_topk", "threshold", es, 4),
             intLit("graft_cosine_topk", "nbits", es, 5))))),
+      // Span-level duplicate statistics (the q129 operator) for
+      // pure-SQL users: fixed-window exact-substring dedup stats.
+      ("graft_dup_spans", tfInfo("graft_dup_spans"),
+        arityT("graft_dup_spans", 4)(es => plan(Dedup.dupSpanStats(
+          activeTable(strLit("graft_dup_spans", "view", es, 0)),
+          col(strLit("graft_dup_spans", "idCol", es, 1)),
+          col(strLit("graft_dup_spans", "textCol", es, 2)),
+          intLit("graft_dup_spans", "windowLen", es, 3))))),
+      // Bloom decontamination (the q128 operator): corpus view + eval
+      // view, gram length and the two filter dials as literals.
+      ("graft_bloom_decontam", tfInfo("graft_bloom_decontam"),
+        arityT("graft_bloom_decontam", 7)(es =>
+          plan(graft.operators.Decontaminate.bloomOverlap(
+            activeTable(strLit("graft_bloom_decontam", "corpusView", es, 0)),
+            activeTable(strLit("graft_bloom_decontam", "evalView", es, 1)),
+            strLit("graft_bloom_decontam", "idCol", es, 2),
+            strLit("graft_bloom_decontam", "textCol", es, 3),
+            intLit("graft_bloom_decontam", "n", es, 4),
+            intLit("graft_bloom_decontam", "mBits", es, 5),
+            intLit("graft_bloom_decontam", "numHashes", es, 6))))),
       // The IVF-INDEXED miners — the production decision path (q124/
       // q125: >= 0.95 planted recall where the sign-bucket miners
       // above measure 0.70-0.78 on clustered corpora, RecallSpec) for

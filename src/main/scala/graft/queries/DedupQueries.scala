@@ -417,7 +417,43 @@ object DedupQueries extends Catalog {
               |  ROUND(containment, 6) AS containment
               |FROM pairs WHERE containment >= 0.9
               |ORDER BY doc_small, doc_big""".stripMargin),
-      bench = false) // dominated by the one-time index build; the
-                     // probe-vs-batch speedup is measured in PLANS.md
+      bench = false), // dominated by the one-time index build; the
+                      // probe-vs-batch speedup is measured in PLANS.md
+
+    // Span-level duplicate statistics: exact-substring dedup at fixed
+    // window granularity (Lee et al. 2022) — every sliding 8-token
+    // window is hashed POSITIONALLY (within-doc repeats count), a
+    // window is duplicated when its hash occurs more than once
+    // corpus-wide, and each doc reports its duplicated-span share.
+    // Linear in corpus size by construction (no pair table): one
+    // map-side-combinable count on the window hash + a join back.
+    Q("q129_dup_span_windows",
+      (s, dir) => Dedup.dupSpanStats(
+          Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"), windowLen = 8)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH d AS (SELECT doc_id, $duckToks AS toks FROM documents),
+              |w AS (SELECT doc_id,
+              |  CASE WHEN len(toks) >= 8
+              |    THEN list_transform(range(0, len(toks)-7),
+              |           i -> md5(array_to_string(
+              |             list_slice(toks, i+1, i+8), ' ')))
+              |    ELSE [] END AS ws
+              |  FROM d),
+              |e AS (SELECT doc_id,
+              |  unnest(CASE WHEN len(ws) = 0
+              |    THEN [CAST(NULL AS VARCHAR)] ELSE ws END) AS whash
+              |  FROM w),
+              |c AS (SELECT whash, COUNT(*) AS occ FROM e
+              |  WHERE whash IS NOT NULL GROUP BY 1)
+              |SELECT e.doc_id,
+              |  CAST(COUNT(whash) AS BIGINT) AS n_windows,
+              |  CAST(COUNT(CASE WHEN occ > 1 THEN 1 END) AS BIGINT)
+              |    AS n_dup_windows,
+              |  CASE WHEN COUNT(whash) > 0 THEN
+              |    ROUND(CAST(COUNT(CASE WHEN occ > 1 THEN 1 END)
+              |      AS DOUBLE) / COUNT(whash), 9) END AS dup_ratio
+              |FROM e LEFT JOIN c USING (whash)
+              |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin))
   )
 }

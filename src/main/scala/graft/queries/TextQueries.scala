@@ -425,6 +425,57 @@ object TextQueries extends Catalog {
               |JOIN dfq d1 ON p.t1 = d1.t
               |JOIN dfq d2 ON p.t2 = d2.t
               |CROSS JOIN n
-              |ORDER BY lift DESC, t1, t2 LIMIT 20""".stripMargin))
+              |ORDER BY lift DESC, t1, t2 LIMIT 20""".stripMargin)),
+
+    // Bloom-filter decontamination: q83's scale path for when the
+    // eval-set n-gram hash set outgrows a broadcast. Each distinct
+    // eval trigram md5 sets 2 bit positions (independent 8-hex-char
+    // slices of the hash, mod 65536); a corpus gram bloom-hits when
+    // BOTH its positions are set. The filter is deterministic
+    // arithmetic over md5 hex, so the oracle replays it bit-for-bit —
+    // false positives and all. Can only over-flag relative to q83
+    // (no false negatives; law pinned in TrainingDataOpsSpec); the
+    // joined side is the distinct set-bit table, bounded by mBits
+    // rows no matter how large the eval suite grows.
+    Q("q128_bloom_decontam",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.Decontaminate.bloomOverlap(
+            docs.filter(col("doc_id") % 50 =!= 0),
+            docs.filter(col("doc_id") % 50 === 0),
+            "doc_id", "text", n = 3, mBits = 65536, numHashes = 2)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $duckToks AS toks FROM documents),
+              |s AS (SELECT doc_id,
+              |  list_distinct(CASE WHEN len(toks) >= 3
+              |    THEN list_transform(range(0, len(toks)-2),
+              |           i -> array_to_string(list_slice(toks, i+1, i+3), ' '))
+              |    ELSE [] END) AS dg
+              |  FROM d),
+              |bits AS (SELECT DISTINCT
+              |    CAST('0x' || substr(md5(g), 1 + 8*j, 8) AS BIGINT)
+              |      % 65536 AS bit
+              |  FROM (SELECT unnest(dg) AS g FROM s WHERE doc_id % 50 = 0)
+              |  CROSS JOIN (SELECT unnest([0, 1]) AS j)),
+              |c AS (SELECT doc_id,
+              |  unnest(CASE WHEN len(dg) = 0
+              |    THEN [CAST(NULL AS VARCHAR)] ELSE dg END) AS g
+              |  FROM s WHERE doc_id % 50 <> 0),
+              |cp AS (SELECT doc_id, g,
+              |  CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 65536 AS p0,
+              |  CAST('0x' || substr(md5(g), 9, 8) AS BIGINT) % 65536 AS p1
+              |  FROM c)
+              |SELECT doc_id,
+              |  CAST(COUNT(g) AS BIGINT) AS n_grams,
+              |  CAST(COUNT(CASE WHEN b0.bit IS NOT NULL
+              |    AND b1.bit IS NOT NULL THEN 1 END) AS BIGINT)
+              |    AS n_bloom_hits,
+              |  COUNT(CASE WHEN b0.bit IS NOT NULL
+              |    AND b1.bit IS NOT NULL THEN 1 END) > 0 AS bloom_flagged
+              |FROM cp
+              |LEFT JOIN bits b0 ON cp.p0 = b0.bit
+              |LEFT JOIN bits b1 ON cp.p1 = b1.bit
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

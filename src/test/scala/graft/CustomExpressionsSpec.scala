@@ -312,4 +312,46 @@ class CustomExpressionsSpec extends SparkSpec {
     // the one-row group surfaces with rank 1 (short groups keep all)
     assert(viaAgg.filter($"g" === 9L).count() == 1L)
   }
+
+  test("WindowMd5 == md5 over positional shinglesOf composition") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val toks = TextFunctions.tokens($"text")
+    val W = 8
+    // the positional form: NO array_distinct — every window position
+    // keeps its own digest, repeats and all
+    val composed = docs.select($"doc_id",
+      transform(TextFunctions.shinglesOf(toks, W), g => md5(g)).as("ws"))
+      .orderBy($"doc_id").collect().toSeq
+    val custom = docs.select($"doc_id",
+      graft.functions.expressions.WindowMd5.windowMd5(toks, W).as("ws"))
+      .orderBy($"doc_id").collect().toSeq
+    assert(custom == composed)
+    // edges: < W tokens -> empty array, null text -> null, and
+    // within-doc repeated windows are KEPT (unlike ShingleMd5)
+    val edge = Seq((1L, "a b"), (2L, null), (3L, "x y x y x"))
+      .toDF("doc_id", "text")
+    val r = edge.select(graft.functions.expressions.WindowMd5
+        .windowMd5(TextFunctions.tokens($"text"), 3).as("ws"))
+      .orderBy($"doc_id").collect()
+    assert(r(0).getSeq[String](0).isEmpty && r(1).isNullAt(0))
+    val w3 = r(2).getSeq[String](0)
+    assert(w3.length == 3 && w3(0) == w3(2) && w3(0) != w3(1),
+      "positional windows must keep the repeated 'x y x' digest")
+  }
+
+  test("WindowMd5 skips null elements like concat_ws") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, array('a', CAST(NULL AS STRING), 'b', 'c')),
+        |  (2L, array(CAST(NULL AS STRING), NULL, 'x')),
+        |  (3L, array('', NULL, 'y', ''))
+        |AS t(id, toks)""".stripMargin)
+    val composed = df.select($"id",
+      transform(TextFunctions.shinglesOf($"toks", 2), g => md5(g)).as("ws"))
+      .orderBy($"id").collect().toSeq
+    val custom = df.select($"id",
+      graft.functions.expressions.WindowMd5.windowMd5($"toks", 2).as("ws"))
+      .orderBy($"id").collect().toSeq
+    assert(custom == composed)
+  }
 }

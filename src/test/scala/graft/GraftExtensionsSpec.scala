@@ -18,7 +18,9 @@ class GraftExtensionsSpec extends SparkSpec {
         |  shingle_md5(array('a','b','c','b','c'), 2) AS sh,
         |  md5('a b') AS expected_sh0,
         |  chunk_md5(array('a','b','c'), 2) AS ch,
-        |  md5('c') AS expected_ch1
+        |  md5('c') AS expected_ch1,
+        |  window_md5(array('a','b','a','b'), 2) AS ws,
+        |  md5('a b') AS expected_ws0
         |""".stripMargin).collect()(0)
     assert(row.getAs[String]("fp") == row.getAs[String]("expected_fp"))
     assert(row.getAs[Int]("n") == 2)
@@ -31,6 +33,11 @@ class GraftExtensionsSpec extends SparkSpec {
     // chunks of (a b c) at width 2: "a b", tail "c"
     assert(row.getSeq[String](row.fieldIndex("ch")).last ==
       row.getAs[String]("expected_ch1"))
+    // positional windows of (a b a b) at width 2: "a b","b a","a b" —
+    // repeats kept, first and third identical
+    val ws = row.getSeq[String](row.fieldIndex("ws"))
+    assert(ws.size == 3 && ws.head == row.getAs[String]("expected_ws0")
+      && ws(0) == ws(2) && ws(0) != ws(1))
   }
 
   test("threshold merge-scan variants evaluate from spark.sql") {
@@ -96,7 +103,8 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(GraftExtensions.functions.map(_._1).toSet ==
       Set("multi_min_hash", "sorted_intersect_count",
           "sorted_intersect_count_long", "token_fingerprint",
-          "dot_product", "shingle_md5", "chunk_md5", "token_pairs",
+          "dot_product", "shingle_md5", "chunk_md5", "window_md5",
+          "token_pairs",
           "sorted_intersect_at_least_long",
           "sorted_intersect_at_least_frac_left_long",
           "graft_length_bucket_width", "graft_sign_bits"))

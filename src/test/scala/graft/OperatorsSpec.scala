@@ -433,6 +433,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("dupSpanStats: positional windows, within-doc repeats count, " +
+      "short docs surface with null ratio") {
+    val df = Seq(
+      (1L, "a b c d"),    // w=2 windows: "a b","b c","c d"
+      (2L, "a b a b"),    // windows: "a b","b a","a b"
+      (3L, "x"),          // shorter than the window: 0 windows
+      (4L, "p q p q p")   // windows: "p q","q p","p q","q p" (all
+                          // duplicated WITHIN one doc — no partner doc)
+    ).toDF("doc_id", "text")
+    val r = Dedup.dupSpanStats(df, $"doc_id", $"text", windowLen = 2)
+      .orderBy("doc_id").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) null else x.getDouble(3)))).toMap
+    // doc 1: "a b" also occurs twice in doc 2 -> 1 of 3 positions dup
+    assert(r(1L) == ((3L, 1L, 0.333333333)))
+    // doc 2: both "a b" positions dup (1 in doc 1 + 2 here); "b a"
+    // occurs once corpus-wide -> 2 of 3
+    assert(r(2L) == ((3L, 2L, 0.666666667)))
+    // doc 3: no windows, ratio is null (not 0 — "no evidence")
+    assert(r(3L) == ((0L, 0L, null)))
+    // doc 4: every position's hash occurs twice INSIDE the same doc —
+    // within-doc repetition is duplication (Lee et al. semantics)
+    assert(r(4L) == ((4L, 4L, 1.0)))
+  }
+
   implicit class Tuple3Ops(rows: Array[(String, String, Int)]) {
     def toMap2: Map[String, (String, Int)] =
       rows.map(r => r._1 -> ((r._2, r._3))).toMap

@@ -87,6 +87,32 @@ class SqlSurfaceSpec extends SparkSpec {
       Dedup.containmentPairs(docs, $"doc_id", $"text", 0.9))
   }
 
+  test("graft_dup_spans == Dedup.dupSpanStats") {
+    sameAs(
+      "SELECT * FROM graft_dup_spans('sql_docs', 'doc_id', 'text', 3)",
+      Dedup.dupSpanStats(docs, $"doc_id", $"text", 3))
+    // the exact-duplicate doc pair's windows must all read duplicated
+    val dup = spark.sql(
+      """SELECT dup_ratio FROM
+        |  graft_dup_spans('sql_docs', 'doc_id', 'text', 3)
+        |WHERE doc_id IN (1, 2)""".stripMargin)
+      .as[Double].collect()
+    assert(dup.length == 2 && dup.forall(_ == 1.0))
+  }
+
+  test("graft_bloom_decontam == Decontaminate.bloomOverlap") {
+    spark.sql("""CREATE OR REPLACE TEMP VIEW sql_eval AS
+                 SELECT * FROM sql_docs WHERE doc_id % 3 = 0""")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW sql_corpus AS
+                 SELECT * FROM sql_docs WHERE doc_id % 3 <> 0""")
+    sameAs(
+      """SELECT * FROM graft_bloom_decontam(
+        |  'sql_corpus', 'sql_eval', 'doc_id', 'text', 3, 65536, 2)""".stripMargin,
+      graft.operators.Decontaminate.bloomOverlap(
+        spark.table("sql_corpus"), spark.table("sql_eval"),
+        "doc_id", "text", 3, 65536, 2))
+  }
+
   test("graft_budget_select == BudgetSelect.selectByTokenBudget") {
     sameAs(
       """SELECT * FROM

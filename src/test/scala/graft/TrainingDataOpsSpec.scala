@@ -137,4 +137,61 @@ class TrainingDataOpsSpec extends SparkSpec {
       .where("avg_freq <= 0 OR avg_freq > 1").count()
     assert(bad == 0)
   }
+
+  test("bloom decontamination never under-flags: hits >= exact per doc") {
+    // the core bloom law — no false negatives — on real corpus data
+    // with the production q128 dials
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter($"doc_id" % 50 =!= 0)
+    val eval_ = docs.filter($"doc_id" % 50 === 0)
+    val exact = Decontaminate.overlap(corpus, eval_, "doc_id", "text", 3)
+      .select($"doc_id", $"n_grams".as("g_exact"), $"n_hits",
+        $"contaminated")
+    val bloom = Decontaminate
+      .bloomOverlap(corpus, eval_, "doc_id", "text", 3, mBits = 65536)
+      .select($"doc_id", $"n_grams".as("g_bloom"), $"n_bloom_hits",
+        $"bloom_flagged")
+    val j = exact.join(bloom, "doc_id").cache()
+    try {
+      assert(j.count() == corpus.count(), "every corpus doc surfaces")
+      assert(j.filter($"g_exact" =!= $"g_bloom").count() == 0,
+        "both passes must count the same distinct grams")
+      assert(j.filter($"n_bloom_hits" < $"n_hits").count() == 0,
+        "a bloom filter can only over-flag, never drop a true hit")
+      assert(j.filter($"contaminated" && !$"bloom_flagged").count() == 0,
+        "every exactly-contaminated doc must stay flagged")
+    } finally j.unpersist()
+  }
+
+  test("bloom decontamination: probing the eval set against itself " +
+      "saturates (every gram hits its own bits)") {
+    // exact self-hit law for any mBits/numHashes: a gram's bits were
+    // set by that very gram, so n_bloom_hits == n_grams on every doc
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(60)
+    for (k <- Seq(1, 2, 4); m <- Seq(64, 65536)) {
+      val out = Decontaminate
+        .bloomOverlap(docs, docs, "doc_id", "text", 3,
+          mBits = m, numHashes = k)
+      assert(out.filter($"n_bloom_hits" =!= $"n_grams").count() == 0,
+        s"self-probe must saturate at mBits=$m numHashes=$k")
+    }
+  }
+
+  test("bloom decontamination flags a doc sharing an n-gram with eval") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"), // shares "the quick brown"
+      (2L, "totally unrelated words here"),
+      (3L, "short doc")                  // < 3 tokens: 0 grams
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "the quick brown cat")).toDF("doc_id", "text")
+    val out = Decontaminate
+      .bloomOverlap(corpus, eval_, "doc_id", "text", 3, mBits = 65536)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(byId(1L)._1 == 3L && byId(1L)._2 >= 1L && byId(1L)._3,
+      "the doc sharing a trigram must bloom-flag (no false negatives)")
+    assert(byId(3L) == ((0L, 0L, false)), "a 0-gram doc never flags")
+  }
 }
