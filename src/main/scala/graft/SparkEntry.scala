@@ -63,5 +63,6 @@ object SparkEntry {
     "q109_incremental_dedup", "q111_image_decode", "q112_audio_decode",
     "q113_video_decode", "q114_budget_select", "q117_kmv_merge",
     "q118_rolling_dedup", "q120_cosine_topk", "q122_ann_ivf_probe",
-    "q128_bloom_decontam", "q129_dup_span_windows")
+    "q128_bloom_decontam", "q129_dup_span_windows",
+    "q130_cm_heavy_hitters")
 }

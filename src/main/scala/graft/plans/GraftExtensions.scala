@@ -386,6 +386,16 @@ object GraftExtensions {
             intLit("graft_bloom_decontam", "n", es, 4),
             intLit("graft_bloom_decontam", "mBits", es, 5),
             intLit("graft_bloom_decontam", "numHashes", es, 6))))),
+      // Count-min heavy hitters (the q130 operator): bounded d×w
+      // count state, over-estimate-only, exact counts on the winners.
+      ("graft_cm_heavy_hitters", tfInfo("graft_cm_heavy_hitters"),
+        arityT("graft_cm_heavy_hitters", 5)(es =>
+          plan(graft.operators.CountMin.heavyHitters(
+            activeTable(strLit("graft_cm_heavy_hitters", "view", es, 0)),
+            col(strLit("graft_cm_heavy_hitters", "keyCol", es, 1)),
+            intLit("graft_cm_heavy_hitters", "width", es, 2),
+            intLit("graft_cm_heavy_hitters", "depth", es, 3),
+            intLit("graft_cm_heavy_hitters", "k", es, 4))))),
       // The IVF-INDEXED miners — the production decision path (q124/
       // q125: >= 0.95 planted recall where the sign-bucket miners
       // above measure 0.70-0.78 on clustered corpora, RecallSpec) for

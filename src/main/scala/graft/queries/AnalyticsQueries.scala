@@ -273,6 +273,34 @@ object AnalyticsQueries extends Catalog {
               |SELECT term, COUNT(*) AS cnt FROM t GROUP BY term
               |ORDER BY cnt DESC, term LIMIT 20""".stripMargin)),
 
+    // Count-min heavy hitters: q77's bounded-state sibling — the
+    // count state is a deterministic 2x1024 md5-bucketed grid
+    // whatever the key cardinality, estimates can only OVER-count
+    // (law in OperatorsSpec), and the exact count rides along for the
+    // 20 winners so the over-count is visible. The oracle replays the
+    // grid, the min-estimates, and the tie-broken top-k bit-for-bit.
+    Q("q130_cm_heavy_hitters",
+      (s, dir) => graft.operators.CountMin.heavyHitters(
+        Tables.load(s, dir, "lineitem"),
+        col("l_partkey"), width = 1024, depth = 2, k = 20),
+      Some(s"""WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS key
+              |  FROM lineitem WHERE l_partkey IS NOT NULL),
+              |b AS (SELECT key, j,
+              |    CAST('0x' || substr(md5(key), 1 + 8*j, 8) AS BIGINT)
+              |      % 1024 AS bucket
+              |  FROM k CROSS JOIN (SELECT unnest([0, 1]) AS j)),
+              |grid AS (SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+              |  FROM b GROUP BY 1, 2),
+              |est AS (SELECT key, MIN(cnt) AS est
+              |  FROM (SELECT DISTINCT key, j, bucket FROM b) db
+              |  JOIN grid USING (j, bucket)
+              |  GROUP BY key ORDER BY est DESC, key LIMIT 20),
+              |ex AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS exact
+              |  FROM k WHERE key IN (SELECT key FROM est) GROUP BY key)
+              |SELECT est.key, est.est AS est, ex.exact AS exact
+              |FROM est JOIN ex USING (key)
+              |ORDER BY est DESC, key""".stripMargin)),
+
     // Chunk-level dedup: split each doc into fixed 20-token windows,
     // hash each window, count per doc how many of its chunks appear in
     // at least one other doc. The explode -> groupBy(hash) -> join-back

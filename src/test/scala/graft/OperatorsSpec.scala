@@ -458,6 +458,35 @@ class OperatorsSpec extends SparkSpec {
     assert(r(4L) == ((4L, 4L, 1.0)))
   }
 
+  test("CountMin: est >= exact everywhere, est non-increasing in depth, " +
+      "lone key is exact") {
+    import graft.operators.CountMin
+    // skewed keys over a tiny width so collisions are guaranteed
+    val keys = (1 to 40).flatMap(i => Seq.fill(i % 7 + 1)(s"k$i"))
+    val df = keys.toDF("k")
+    def hh(depth: Int) = CountMin
+      .heavyHitters(df, $"k", width = 4, depth = depth, k = 1000)
+    // over-estimate-only law, on EVERY key (k covers the universe)
+    val d2 = hh(2).cache()
+    try {
+      assert(d2.count() == 40)
+      assert(d2.filter($"est" < $"exact").count() == 0,
+        "count-min never under-counts")
+      // depth monotone: min over more independent rows only shrinks
+      val byKey = hh(1).select($"key", $"est".as("est1"))
+        .join(d2.select($"key", $"est".as("est2")), "key")
+      assert(byKey.filter($"est2" > $"est1").count() == 0)
+    } finally d2.unpersist()
+    // a single distinct key cannot collide: est == exact at any dial
+    val lone = CountMin.heavyHitters(
+      Seq.fill(17)("only").toDF("k"), $"k", width = 4, depth = 2, k = 5)
+      .collect()
+    assert(lone.length == 1 &&
+      lone(0).getLong(1) == 17L && lone(0).getLong(2) == 17L)
+    // the sketch grid never exceeds depth x width cells
+    assert(CountMin.sketch(df.select($"k"), $"k", 4, 2).count() <= 8L)
+  }
+
   implicit class Tuple3Ops(rows: Array[(String, String, Int)]) {
     def toMap2: Map[String, (String, Int)] =
       rows.map(r => r._1 -> ((r._2, r._3))).toMap

@@ -162,6 +162,56 @@ class PlansSpec extends SparkSpec {
       s"codegen'd containment verify missing:\n$p")
   }
 
+  test("q128: bloom membership tests are broadcast joins; the corpus " +
+    "never shuffles before its own doc agg") {
+    // the bloom contract: the joined side is the distinct set-bit
+    // table (bounded by mBits), so BOTH membership tests must be
+    // BroadcastHashJoins — a SortMergeJoin would mean the corpus gram
+    // stream got sorted+shuffled on a bit value, the exact cost the
+    // sketch exists to avoid. The only data-sized exchange allowed is
+    // the final map-combined aggregation on the corpus's own doc key.
+    val p = plan("q128_bloom_decontam")
+    assert(countNodes(p, "BroadcastHashJoin") >= 2,
+      s"bloom membership tests not both broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus gram stream shuffled for a membership test:\n$p")
+    // map-side partial count below the doc_id exchange
+    assert(p.contains("partial_count"),
+      s"per-doc agg lost its map-side combine:\n$p")
+  }
+
+  test("q129: window-hash count combines map-side and joins back " +
+    "without re-shuffling the positional stream") {
+    // the span-dedup contract: the occurrence count aggregates with a
+    // map-side partial (the whash exchange carries distinct hashes
+    // with counts, not positions), and at this scale AQE broadcasts
+    // the count table back — the positional stream must not pay a
+    // SortMergeJoin sort. (At corpus scale AQE degrades the join-back
+    // to a hash shuffle — the documented path — but never a sort of
+    // the count side below the broadcast threshold.)
+    val p = plan("q129_dup_span_windows")
+    assert(p.contains("partial_count"),
+      s"whash count lost its map-side combine:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"count table no longer broadcast back at sf0.01:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"positional stream paid a sort-merge join:\n$p")
+  }
+
+  test("q130: the count-min grid joins via broadcast and the exact " +
+    "counts are computed post-limit, not on the universe") {
+    val p = plan("q130_cm_heavy_hitters")
+    // the d x w grid (and the k winners for the exact semi-join) are
+    // the ONLY build sides — both tiny, both broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"grid join degraded to a shuffle join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sketch-sized side got sort-merge-joined:\n$p")
+    // exact counts ride a LeftSemi of the winners onto the occurrences
+    assert(p.contains("LeftSemi"),
+      s"exact counts no longer restricted to the k winners:\n$p")
+  }
+
   test("q117: sketch paths carry no data-sized exchange") {
     val p = plan("q117_kmv_merge")
     // the partial KMV sketches bound every exchange to K rows per

@@ -113,6 +113,13 @@ class SqlSurfaceSpec extends SparkSpec {
         "doc_id", "text", 3, 65536, 2))
   }
 
+  test("graft_cm_heavy_hitters == CountMin.heavyHitters") {
+    sameAs(
+      "SELECT * FROM graft_cm_heavy_hitters('sql_docs', 'text', 8, 2, 10)",
+      graft.operators.CountMin.heavyHitters(
+        docs, $"text", width = 8, depth = 2, k = 10))
+  }
+
   test("graft_budget_select == BudgetSelect.selectByTokenBudget") {
     sameAs(
       """SELECT * FROM
