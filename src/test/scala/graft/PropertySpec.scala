@@ -192,6 +192,98 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bloomOverlap: never under-flags exact overlap, on random " +
+      "corpora across the full dial grid") {
+    val textGen = Gen.listOfN(6, Gen.oneOf("aa", "bb", "cc", "dd"))
+      .map(_.mkString(" "))
+    val gen = Gen.zip(Gen.listOfN(8, textGen),
+      Gen.oneOf(2, 16, 64, 65536), Gen.oneOf(1, 2, 4))
+    forAllSamples(gen, n = 8) { case (texts, m, k) =>
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val corpus = df.filter($"doc_id" < 6)
+      val eval_ = df.filter($"doc_id" >= 6)
+      val exact = operators.Decontaminate
+        .overlap(corpus, eval_, "doc_id", "text", 3)
+        .select($"doc_id", $"n_grams", $"n_hits", $"contaminated")
+      val bloom = operators.Decontaminate
+        .bloomOverlap(corpus, eval_, "doc_id", "text", 3, m, k)
+      val j = exact.join(
+        bloom.select($"doc_id", $"n_grams".as("gb"),
+          $"n_bloom_hits", $"bloom_flagged"), "doc_id").collect()
+      assert(j.length == 6)
+      j.foreach { r =>
+        assert(r.getAs[Long]("n_grams") == r.getAs[Long]("gb"),
+          s"gram accounting diverged at m=$m k=$k")
+        assert(r.getAs[Long]("n_bloom_hits") >= r.getAs[Long]("n_hits"),
+          s"bloom under-counted at m=$m k=$k")
+        if (r.getAs[Boolean]("contaminated"))
+          assert(r.getAs[Boolean]("bloom_flagged"),
+            s"bloom dropped a true flag at m=$m k=$k")
+      }
+    }
+  }
+
+  test("dupSpanStats equals a positional brute force on random corpora") {
+    val textGen = Gen.choose(1, 9).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("aa", "bb", "cc", "dd"))
+        .map(_.mkString(" ")))
+    forAllSamples(Gen.listOfN(8, textGen), n = 8) { texts =>
+      val W = 3
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = operators.Dedup
+        .dupSpanStats(df, $"doc_id", $"text", W)
+        .orderBy($"doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // independent recompute: sliding windows as plain strings, a
+      // global multiset count, dup = positions whose window occurs >1
+      val windows = texts.map(_.trim.split("\\s+").toSeq
+        .sliding(W).filter(_.size == W).map(_.mkString(" ")).toSeq)
+      val occ = windows.flatten.groupBy(identity).map {
+        case (w, xs) => w -> xs.size
+      }
+      val want = windows.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.size.toLong, ws.count(occ(_) > 1).toLong)
+      }
+      assert(got.toSeq == want)
+    }
+  }
+
+  test("CountMin estimates equal an independent md5-grid recompute; " +
+      "est >= exact always") {
+    val gen = Gen.zip(Gen.listOfN(60, Gen.choose(0, 25)),
+      Gen.oneOf(2, 8, 64), Gen.oneOf(1, 2, 3))
+    forAllSamples(gen, n = 8) { case (ints, w, d) =>
+      val keys = ints.map(i => s"k$i")
+      val df = keys.toDF("k")
+      val got = operators.CountMin
+        .heavyHitters(df, $"k", width = w, depth = d, k = 1000)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      // independent recompute with java's own md5 (not Spark's)
+      def bucket(key: String, j: Int): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (BigInt(hex.slice(8 * j, 8 * j + 8), 16) % w).toLong
+      }
+      val grid = keys.flatMap(key => (0 until d).map(j =>
+        (j, bucket(key, j)))).groupBy(identity)
+        .map { case (cell, xs) => cell -> xs.size.toLong }
+      val exact = keys.groupBy(identity)
+        .map { case (key, xs) => key -> xs.size.toLong }
+      val want = exact.keys.toSeq.map { key =>
+        val est = (0 until d).map(j => grid((j, bucket(key, j)))).min
+        (key, est, exact(key))
+      }.sortBy { case (key, est, _) => (-est, key) }
+      assert(got == want, s"w=$w d=$d")
+      got.foreach { case (key, est, ex) =>
+        assert(est >= ex, s"under-count for $key at w=$w d=$d")
+      }
+    }
+  }
+
   test("containmentPairs: prefix filter is exhaustive — equals brute " +
       "force on random corpora, thresholds, and vocabulary densities") {
     // The PPJoin both-prefix bound and the fp-safe prefix slack are

@@ -62,7 +62,14 @@ FAMILY+="q125_near_dup_indexed,"
 # (incremental containment) is EXCLUDED for q115's reason: the dense
 # synthetic vocab makes its batch×corpus result set itself ~quadratic;
 # its scale evidence is the realistic-vocab A/B (AbIncContainment).
-FAMILY+="q127_sql_near_dup_indexed"
+FAMILY+="q127_sql_near_dup_indexed,"
+# round 20 (second pass): the new curation operators — bloom
+# decontamination (bounded set-bit broadcast), span-level dup stats
+# (no pair table: windows ~n, DuckDB replays in full), and count-min
+# heavy hitters (d×w grid; the oracle's 2×120 M bucket-row groupBy is
+# linear and feasible)
+FAMILY+="q128_bloom_decontam,q129_dup_span_windows,"
+FAMILY+="q130_cm_heavy_hitters"
 OUT=/tmp/verify_sf10
 SPARK_GRAFT_VERIFY_ONLY="$FAMILY" SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Verify testdata/sf10 $OUT" >/dev/null
