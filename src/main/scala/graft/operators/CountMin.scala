@@ -28,9 +28,11 @@ import org.apache.spark.sql.functions._
   * keys — that is inherent to offline heavy hitters (a streaming heap
   * is the alternative); what CM buys at scale is that the heavy
   * per-occurrence aggregation state is fixed-size. The exact counts
-  * attached to the final top-k are computed AFTER the limit, by a
-  * semi-join of the k winners back onto the occurrences — k keys,
-  * never the universe.
+  * ride the SAME shuffle candidate enumeration already pays — a
+  * map-combined groupBy carries each distinct key once with an
+  * 8-byte count attached, byte-identical in volume to a bare
+  * distinct — so the whole operator is two scans and two bounded
+  * exchanges, never a third pass over the occurrences.
   */
 object CountMin {
 
@@ -56,31 +58,32 @@ object CountMin {
       .cast("bigint"), lit(width.toLong))
 
   /** Top-k keys by count-min ESTIMATE (ties by key), with the exact
-    * count attached for the k winners so the over-count is visible in
-    * the output instead of hidden in the sketch: one row per winner —
-    * `key, est, exact` with `est ≥ exact` always.
+    * count attached so the over-count is visible in the output
+    * instead of hidden in the sketch: one row per winner —
+    * `key, est, exact` with `est ≥ exact` always. Buckets are
+    * recomputed from the key AFTER the candidate shuffle (they are a
+    * pure function of the key), so the exchange carries keys+counts
+    * only and the grid join runs over the already-collapsed universe.
     */
   def heavyHitters(df: DataFrame, key: Column, width: Int, depth: Int,
                    k: Int): DataFrame = {
     val keys = df.select(key.cast("string").as("key"))
       .filter(col("key").isNotNull)
     val grid = sketch(keys, col("key"), width, depth)
-    val est = keys.distinct()
-      .select(col("key"), explode(array((0 until depth).map(j =>
-        struct(lit(j).as("row"),
-          bucketOf(col("key"), j, width).as("bucket"))): _*)).as("rb"))
-      .select(col("key"), col("rb.row").as("row"),
+    keys
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("exact"))
+      .select(col("key"), col("exact"),
+        explode(array((0 until depth).map(j =>
+          struct(lit(j).as("row"),
+            bucketOf(col("key"), j, width).as("bucket"))): _*)).as("rb"))
+      .select(col("key"), col("exact"), col("rb.row").as("row"),
         col("rb.bucket").as("bucket"))
       .join(grid, Seq("row", "bucket"))
-      .groupBy(col("key"))
+      .groupBy(col("key"), col("exact"))
       .agg(min(col("cnt")).as("est"))
       .orderBy(col("est").desc, col("key"))
       .limit(k)
-    val exact = keys
-      .join(est.select(col("key")), Seq("key"), "left_semi")
-      .groupBy(col("key"))
-      .agg(count(lit(1)).as("exact"))
-    est.join(exact, Seq("key"))
       .select(col("key"), col("est"), col("exact"))
       .orderBy(col("est").desc, col("key"))
   }

@@ -198,18 +198,19 @@ class PlansSpec extends SparkSpec {
       s"positional stream paid a sort-merge join:\n$p")
   }
 
-  test("q130: the count-min grid joins via broadcast and the exact " +
-    "counts are computed post-limit, not on the universe") {
+  test("q130: the count-min grid joins via broadcast; two scans, " +
+    "no third pass over the occurrences") {
     val p = plan("q130_cm_heavy_hitters")
-    // the d x w grid (and the k winners for the exact semi-join) are
-    // the ONLY build sides — both tiny, both broadcast
+    // the d x w grid is the ONLY build side — tiny, broadcast
     assert(p.contains("BroadcastHashJoin"),
       s"grid join degraded to a shuffle join:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"a sketch-sized side got sort-merge-joined:\n$p")
-    // exact counts ride a LeftSemi of the winners onto the occurrences
-    assert(p.contains("LeftSemi"),
-      s"exact counts no longer restricted to the k winners:\n$p")
+    // exact counts ride the candidate shuffle: exactly two parquet
+    // scans (grid pass + key-count pass), never a third
+    val scans = "Scan parquet".r
+      .findAllIn(p.split("== Initial Plan ==")(0)).size
+    assert(scans == 2, s"expected 2 occurrence scans, got $scans:\n$p")
   }
 
   test("q117: sketch paths carry no data-sized exchange") {
