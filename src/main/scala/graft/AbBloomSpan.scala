@@ -42,12 +42,16 @@ object AbBloomSpan {
     val corpus = d.filter(col("doc_id") % 5 =!= 0)
     val eval_ = d.filter(col("doc_id") % 5 === 0)
 
+    require(reps >= 1, s"reps must be >= 1, got $reps")
     def time[T](f: () => T): (T, Seq[Double]) = {
       var v: Option[T] = None
       val ts = (0 to reps).map { _ =>
+        // GC BEFORE the timed region (AbQ69's med() pattern): inside
+        // it, every rep's wall time includes a full GC pause and the
+        // recorded absolutes are inflated (r20 advisor)
+        System.gc() // drop finished-job shuffle files between reps
         val t0 = System.nanoTime()
         v = Some(f())
-        System.gc() // drop finished-job shuffle files between reps
         (System.nanoTime() - t0) / 1e9
       }
       (v.get, ts.drop(1).sorted)

@@ -58,4 +58,36 @@ object Tables {
           s"unexpected events.ts type: $other")
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact row count of a test table from its parquet FOOTERS —
+    * driver-side metadata, zero Spark jobs (the q96 ParquetStats
+    * pattern; r21). Identical to `load(...).count()` by parquet
+    * format contract; falls back to the count job if the path is
+    * missing (never the case for driver-generated dirs).
+    */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    graft.sources.ParquetStats
+      .rowCount(spark.sparkContext.hadoopConfiguration,
+        s"$dir/$name.parquet")
+      .getOrElse(load(spark, dir, name).count())
+
+  /** (row count, max of an integral column) from parquet footers —
+    * the zero-job form of [[graft.operators.BlockDials.countAndMax]]
+    * for size-derived dials. Column-chunk statistics are exact for
+    * integral types; an all-null or statistics-less column falls back
+    * to the agg job (and a missing path to (0-via-count, 0)).
+    */
+  def statsCountMax(spark: SparkSession, dir: String, name: String,
+                    column: String): (Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = s"$dir/$name.parquet"
+    (graft.sources.ParquetStats.rowCount(conf, path),
+      graft.sources.ParquetStats.maxLong(conf, path, column)) match {
+      case (Some(n), Some(mx)) => (n, mx)
+      case _ =>
+        graft.operators.BlockDials.countAndMax(
+          load(spark, dir, name),
+          org.apache.spark.sql.functions.col(column))
+    }
+  }
 }

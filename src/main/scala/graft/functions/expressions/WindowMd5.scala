@@ -30,6 +30,11 @@ import org.apache.spark.unsafe.types.UTF8String
 case class WindowMd5(child: Expression, windowLen: Int)
     extends UnaryExpression with CodegenFallback {
 
+  // windowLen <= 0 would silently emit n+1 (or more) md5("") digests
+  // per doc — every document would report 100% duplicated spans with
+  // green gates (r20 advisor). Fail loudly, like CountMin/bloom dials.
+  require(windowLen >= 1, s"windowLen must be >= 1, got $windowLen")
+
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
 

@@ -100,8 +100,14 @@ object Decontaminate {
       .distinct()
     val corpusGrams = corpus
       .select(col(id), explode_outer(grams).as("cgram"))
+    // explicit broadcast, like overlap's: the set-bit table is
+    // mBits-capped by construction, but Catalyst's ESTIMATE of a
+    // freshly-aggregated frame can exceed autoBroadcastJoinThreshold
+    // at large mBits dials, silently degrading every membership test
+    // to a SortMergeJoin that shuffles the corpus gram stream — the
+    // exact cost the sketch exists to avoid (r20 advisor).
     val probed = (0 until numHashes).foldLeft(corpusGrams) { (df, j) =>
-      df.join(evalBits.withColumnRenamed("bit", s"b$j"),
+      df.join(broadcast(evalBits.withColumnRenamed("bit", s"b$j")),
               pos(col("cgram"), j) === col(s"b$j"), "left")
     }
     val allSet = (0 until numHashes)

@@ -392,6 +392,20 @@ object Dedup {
       .join(rarity, "doc_id")
       .withColumn("n", size(col("stoks")))
       .filter(col("n") > 0)
+      // r21: this table feeds FOUR consumers (probe prefixes, index
+      // postings, and both verify-side array re-attaches); without a
+      // materialization the scan+tokenize+df-count+rarity-sort chain
+      // re-runs per consumer (the executed sf0.1 plan showed 20
+      // parquet scans of the corpus — AQE stage reuse can't see
+      // through the differing consumers). localCheckpoint is exactly
+      // the content the operator's own scale analysis prescribes
+      // materializing — writeContainmentIndex persists this same
+      // docs+postings content to parquet for the incremental path —
+      // and it is hashed-token-sized (two long arrays per doc),
+      // smaller than the text it derives from; MEMORY_AND_DISK
+      // storage spills rather than OOMs at large corpora. Measured
+      // solo at sf0.1: med 11.7 -> 3.4 s (OPTIMIZATION_r21.md).
+      .localCheckpoint()
     // Prefix probe side: the floor((1-t)n)+2 rarest tokens of each doc.
     // Both join sides are SKINNY — (id, n, tok[, pos]) longs only; the
     // token arrays do NOT ride through the candidate join (round 15 —

@@ -93,4 +93,80 @@ object Kmv {
   /** Ungrouped variant: the table's K smallest distinct `hv`. */
   def kSmallestDistinct(df: DataFrame, hv: Column, k: Int): DataFrame =
     kSmallestDistinctByGroup(df, lit("_"), hv, k).select(col("hv"))
+
+  /** One-pass dual sketch: the per-GROUP K-smallest-distinct sketches
+    * AND the GLOBAL (ungrouped) one, from a SINGLE scan of the input —
+    * for callers like q117 that need both and would otherwise scan
+    * (and re-hash) the table twice. The global sketch is maintained by
+    * its own independent capped set fed by every row — NOT derived
+    * from the group sketches — so a merge-vs-recompute comparison
+    * downstream stays a real recompute; only the scan is shared.
+    *
+    * The partial rows are eagerly `localCheckpoint`ed before fan-out:
+    * they are sketch-sized by construction (≤ K rows per group per
+    * partition, + K global rows per partition), so the materialization
+    * is bounded at any corpus size, and without it each of the two
+    * returned frames would re-run the scan the method exists to share.
+    *
+    * Returns (perGroup, global): (g, hv) rows exactly equal to
+    * [[kSmallestDistinctByGroup]], and (hv) rows exactly equal to
+    * [[kSmallestDistinct]] (pinned in OperatorsSpec).
+    */
+  def kSmallestDistinctByGroupWithGlobal(df: DataFrame, group: Column,
+                                         hv: Column, k: Int,
+                                         maxGroups: Int = 1 << 20)
+      : (DataFrame, DataFrame) = {
+    require(k >= 1, "k must be >= 1")
+    require(maxGroups >= 1, "maxGroups must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val partial = df.select(group.cast("string").as("g"),
+        hv.cast("long").as("hv"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val sets = scala.collection.mutable.Map.empty[
+          String, java.util.TreeSet[java.lang.Long]]
+        val global = new java.util.TreeSet[java.lang.Long]
+        def insert(s: java.util.TreeSet[java.lang.Long], v: Long): Unit =
+          if (s.size < k) s.add(v)
+          else if (v < s.last) { s.add(v); if (s.size > k) s.pollLast() }
+        it.foreach { case (g, v) =>
+          val s = sets.getOrElseUpdate(g, {
+            if (sets.size >= maxGroups)
+              throw new IllegalStateException(
+                s"Kmv.kSmallestDistinctByGroupWithGlobal: more than " +
+                  s"$maxGroups distinct groups in one partition — the " +
+                  "group column looks high-cardinality, so the bounded " +
+                  "per-partition sketch would OOM; use the generic " +
+                  "distinct->rank path or raise maxGroups")
+            new java.util.TreeSet[java.lang.Long]
+          })
+          insert(s, v)
+          insert(global, v)
+        }
+        val b = Seq.newBuilder[(Boolean, String, Long)]
+        sets.foreach { case (g, s) =>
+          s.forEach(v => b += ((false, g, v.longValue())))
+        }
+        global.forEach(v => b += ((true, null, v.longValue())))
+        b.result().iterator
+      }
+      .toDF("is_global", "g", "hv")
+      .localCheckpoint()
+    val perGroup = partial.filter(!col("is_global"))
+      .select(col("g"), col("hv"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("hv"))))
+      .filter(col("rn") <= k)
+      .select(col("g"), col("hv"))
+    val global = partial.filter(col("is_global"))
+      .select(lit("_").as("g"), col("hv"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("hv"))))
+      .filter(col("rn") <= k)
+      .select(col("hv"))
+    (perGroup, global)
+  }
 }

@@ -116,6 +116,13 @@ object AnalyticsQueries extends Catalog {
     Q("q76_kmv_distinct",
       (s, dir) => {
         val li = Tables.load(s, dir, "lineitem")
+        // r21 note: a distinct-partkey-first rewrite (shared subtree
+        // for sketch + exact, md5 per distinct key) was tried and
+        // REVERTED: Catalyst's RemoveRedundantAggregates collapses
+        // distinct(md5(pk))-over-distinct(pk) back to one aggregate
+        // over the occurrences, so the branches share nothing and the
+        // extra aggregate level only added a stage (measured 0.68 →
+        // 0.83-0.96 s solo at sf0.1).
         val hv = li.select(
           conv(substring(md5(col("l_partkey").cast("string")), 1, 8),
                16, 10).cast("bigint").as("hv")).distinct()
@@ -173,12 +180,14 @@ object AnalyticsQueries extends Catalog {
         // both paths go through the bounded per-partition partial
         // sketch (operators/Kmv) — the 60M-row distinct exchange the
         // naive form pays is replaced by ≤K rows per group per
-        // partition (8.8 s → see PLANS.md sf10 note)
-        val perGroup = graft.operators.Kmv
-          .kSmallestDistinctByGroup(hashed, col("l_returnflag"),
-            col("hv"), KmvK)
-        val hv = graft.operators.Kmv
-          .kSmallestDistinct(hashed, col("hv"), KmvK)
+        // partition (8.8 s → see PLANS.md sf10 note). r21: the two
+        // sketches come from ONE scan (dual-sketch mapPartitions) —
+        // the global sketch is still its own independent recompute
+        // from every row, so merge_exact stays a real comparison;
+        // only the table scan + per-occurrence md5 are shared.
+        val (perGroup, hv) = graft.operators.Kmv
+          .kSmallestDistinctByGroupWithGlobal(hashed,
+            col("l_returnflag"), col("hv"), KmvK)
         def sketch(h: org.apache.spark.sql.DataFrame, pre: String) =
           h.orderBy(col("hv")).limit(KmvK)
             .agg(count(lit(1)).cast("int").as(s"${pre}_k"),

@@ -305,7 +305,10 @@ object DedupQueries extends Catalog {
     Q("q45_jaccard_pairs",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
-        val (n, mx) = BlockDials.countAndMax(d, col("n_chars"))
+        // r21: dial stats off the parquet footers (zero Spark jobs)
+        // instead of a count+max agg job — same values by format
+        // contract, same oracle params CTE
+        val (n, mx) = Tables.statsCountMax(s, dir, "documents", "n_chars")
         val w = BlockDials.lengthBucketWidth(n, mx)
         Dedup.jaccardPairs(d, col("doc_id"), col("text"),
             blockKeys = Seq(col("lang"),

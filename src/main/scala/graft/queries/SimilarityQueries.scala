@@ -118,6 +118,21 @@ object SimilarityQueries extends Catalog {
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
       .take(12)
 
+  /** Row count for the size-derived dials (BlockDials), read off the
+    * parquet FOOTERS driver-side — zero Spark jobs, the q96
+    * ParquetStats pattern (r21: each of the six former `e.count()`
+    * dial sites paid a full-scan job per invocation just to size the
+    * blocking). Parquet footers record exact per-block row counts, so
+    * the value is identical to `df.count()` by format contract; a
+    * non-existent path (never the case for Tables-backed dirs) falls
+    * back to the count job.
+    */
+  private def tableRows(s: org.apache.spark.sql.SparkSession, dir: String,
+                        name: String): Long =
+    graft.sources.ParquetStats
+      .rowCount(s.sparkContext.hadoopConfiguration, s"$dir/$name.parquet")
+      .getOrElse(Tables.load(s, dir, name).count())
+
   // --- shared CTE chain for the IVF-indexed miners (q124/q125):
   // sample-trained k-means (2 Lloyd steps over the 50·C lowest-id
   // vectors), full-corpus assignment (af), self-unioned C×C centroid
@@ -343,7 +358,7 @@ object SimilarityQueries extends Catalog {
     Q("q57_near_dup_blocked",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        val nb = BlockDials.signBits(e.count())
+        val nb = BlockDials.signBits(tableRows(s, dir, "embeddings"))
         Similarity.cosinePairsBlocked(e, "vec_id", "embedding", 0.45, nb)
           .orderBy(col("id_a"), col("id_b"))
       },
@@ -445,7 +460,7 @@ object SimilarityQueries extends Catalog {
     Q("q120_cosine_topk",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        val nb = BlockDials.signBits(e.count())
+        val nb = BlockDials.signBits(tableRows(s, dir, "embeddings"))
         Similarity.cosineTopKBlocked(e, "vec_id", "embedding",
             k = K, threshold = 0.45, nbits = nb)
           .orderBy(col("doc_id"), col("rank"))
@@ -484,7 +499,7 @@ object SimilarityQueries extends Catalog {
     Q("q121_near_dup_components",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        val nb = BlockDials.signBits(e.count())
+        val nb = BlockDials.signBits(tableRows(s, dir, "embeddings"))
         Similarity.nearDupComponents(e, "vec_id", "embedding",
             threshold = 0.45, nbits = nb)
           .select(col("v").as("vec_id"), col("component"),
@@ -534,7 +549,7 @@ object SimilarityQueries extends Catalog {
     Q("q124_cosine_topk_indexed",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        val n = e.count()
+        val n = tableRows(s, dir, "embeddings")
         val c = BlockDials.ivfLists(n)
         val smp = math.min(n, 50L * c).toInt
         val sample = e.orderBy(col("vec_id")).limit(smp)
@@ -563,7 +578,7 @@ object SimilarityQueries extends Catalog {
     Q("q125_near_dup_indexed",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        val n = e.count()
+        val n = tableRows(s, dir, "embeddings")
         val c = BlockDials.ivfLists(n)
         val smp = math.min(n, 50L * c).toInt
         val sample = e.orderBy(col("vec_id")).limit(smp)
@@ -596,7 +611,7 @@ object SimilarityQueries extends Catalog {
     Q("q127_sql_near_dup_indexed",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        val n = e.count()
+        val n = tableRows(s, dir, "embeddings")
         val c = BlockDials.ivfLists(n)
         val smp = math.min(n, 50L * c).toInt
         val sample = e.orderBy(col("vec_id")).limit(smp)

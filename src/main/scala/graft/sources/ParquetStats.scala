@@ -28,17 +28,21 @@ object ParquetStats {
     * `part-*.parquet`). None when no file carries statistics for the
     * column (callers fall back to their data-free bound).
     */
-  def maxLong(conf: Configuration, path: String, column: String)
-      : Option[Long] = {
+  /** All parquet part files under `path` (a single file or a
+    * directory tree). Recurses into subdirectories (Hive-partitioned
+    * layouts nest part files one level per partition column) — a
+    * non-recursive listing would silently skip those files and return
+    * PARTIAL statistics, and a too-small bound is worse than none
+    * (callers use these as hard convergence guards / dial inputs).
+    * Hidden files/dirs (_SUCCESS, .staging) are skipped at every
+    * level, same as Spark's own file index. None when `path` does not
+    * exist.
+    */
+  private def parquetFiles(conf: Configuration, path: String)
+      : Option[Seq[Path]] = {
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return None
-    // Recurse into subdirectories (Hive-partitioned layouts nest part
-    // files one level per partition column). A non-recursive listing
-    // would silently skip those files and return a PARTIAL max — and a
-    // too-small bound is worse than none (callers use it as a hard
-    // convergence guard). Hidden files/dirs (_SUCCESS, .staging) are
-    // skipped at every level, same as Spark's own file index.
     def listParquet(p: Path): Seq[Path] = {
       val st = fs.getFileStatus(p)
       val n = p.getName
@@ -48,9 +52,34 @@ object ParquetStats {
       else if (n.endsWith(".parquet")) Seq(p)
       else Nil
     }
-    val files: Seq[Path] =
+    Some(
       if (fs.getFileStatus(root).isDirectory) listParquet(root)
-      else Seq(root)
+      else Seq(root))
+  }
+
+  /** EXACT row count from parquet footers (the per-block row counts
+    * every parquet file records — not column statistics, so it cannot
+    * be absent or null-skewed): the driver-side, zero-job equivalent
+    * of `df.count()` for the size-derived dials (BlockDials) that
+    * several indexed-similarity queries compute before planning. None
+    * when the path does not exist (callers fall back to the count
+    * job).
+    */
+  def rowCount(conf: Configuration, path: String): Option[Long] =
+    parquetFiles(conf, path).map { files =>
+      files.map { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally reader.close()
+      }.sum
+    }
+
+  def maxLong(conf: Configuration, path: String, column: String)
+      : Option[Long] = {
+    val files: Seq[Path] = parquetFiles(conf, path) match {
+      case None     => return None
+      case Some(fs) => fs
+    }
     val maxes = files.flatMap { f =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       try {

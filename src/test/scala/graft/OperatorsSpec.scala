@@ -363,6 +363,35 @@ class OperatorsSpec extends SparkSpec {
     assert(flat == flatExp)
   }
 
+  test("Kmv one-pass dual sketch equals the two separate calls (r21)") {
+    import graft.operators.Kmv
+    val rnd = new scala.util.Random(9)
+    val rows = (1 to 4000).map { _ =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(60).toLong)
+    }.toDF("g", "hv").repartition(11)
+    for (k <- Seq(1, 8, 64)) {
+      val (pg, gl) = Kmv
+        .kSmallestDistinctByGroupWithGlobal(rows, $"g", $"hv", k)
+      val pgExp = Kmv.kSmallestDistinctByGroup(rows, $"g", $"hv", k)
+        .as[(String, Long)].collect().sorted.toSeq
+      val glExp = Kmv.kSmallestDistinct(rows, $"hv", k)
+        .as[Long].collect().sorted.toSeq
+      assert(pg.as[(String, Long)].collect().sorted.toSeq == pgExp,
+        s"perGroup k=$k")
+      assert(gl.as[Long].collect().sorted.toSeq == glExp, s"global k=$k")
+    }
+    // the maxGroups guard carries over to the one-pass form
+    val wide = (1 to 64).map(i => (s"g$i", i.toLong)).toDF("g", "hv")
+      .coalesce(1)
+    val ex = intercept[org.apache.spark.SparkException] {
+      Kmv.kSmallestDistinctByGroupWithGlobal(
+        wide, $"g", $"hv", 4, maxGroups = 8)._1.count()
+    }
+    assert(ex.getMessage.contains("distinct groups in one partition") ||
+      Option(ex.getCause).exists(
+        _.getMessage.contains("distinct groups in one partition")))
+  }
+
   test("containmentPairs equals brute force and catches what Jaccard misses") {
     // doc 1 is fully quoted inside doc 2 (jaccard 3/10 — far below any
     // dedup threshold); doc 3 is 2/3-contained in doc 2 (below 0.9);

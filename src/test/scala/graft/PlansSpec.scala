@@ -198,30 +198,36 @@ class PlansSpec extends SparkSpec {
       s"positional stream paid a sort-merge join:\n$p")
   }
 
-  test("q130: the count-min grid joins via broadcast; two scans, " +
-    "no third pass over the occurrences") {
+  test("q130: the count-min grid joins via broadcast; ONE occurrence " +
+    "scan — the grid sums the collapsed key counts (r21)") {
     val p = plan("q130_cm_heavy_hitters")
     // the d x w grid is the ONLY build side — tiny, broadcast
     assert(p.contains("BroadcastHashJoin"),
       s"grid join degraded to a shuffle join:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"a sketch-sized side got sort-merge-joined:\n$p")
-    // exact counts ride the candidate shuffle: exactly two parquet
-    // scans (grid pass + key-count pass), never a third
+    // r21: the grid is derived from the (key, exact) aggregate, whose
+    // one exchange is REUSED by the candidate side — exactly one
+    // parquet scan of the occurrences, never a second
     val scans = "Scan parquet".r
       .findAllIn(p.split("== Initial Plan ==")(0)).size
-    assert(scans == 2, s"expected 2 occurrence scans, got $scans:\n$p")
+    assert(scans == 1, s"expected 1 occurrence scan, got $scans:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"key-count exchange no longer shared by grid + candidates:\n$p")
   }
 
   test("q117: sketch paths carry no data-sized exchange") {
     val p = plan("q117_kmv_merge")
-    // the partial KMV sketches bound every exchange to K rows per
-    // group per partition: a HashAggregate keyed on the raw hv with
-    // partial_first/distinct shape over the full table would mean the
-    // naive distinct shuffle crept back. The plan must keep the
-    // mapPartitions (SerializeFromObject after MapPartitions) partial.
-    assert(p.contains("MapPartitions"),
-      s"bounded partial sketch gone — naive distinct is back:\n$p")
+    // r21: both sketch paths now run off the ONE-pass dual-sketch
+    // partials (Kmv.kSmallestDistinctByGroupWithGlobal), which are
+    // localCheckpoint'ed at sketch size (≤ K rows per group per
+    // partition) — the final plan reads that checkpointed RDD, so a
+    // parquet scan (or any table-sized aggregate) in it would mean
+    // the naive distinct shuffle crept back.
+    assert(p.contains("ExistingRDD"),
+      s"bounded checkpointed partial sketch gone:\n$p")
+    assert(!p.split("== Initial Plan ==")(0).contains("Scan parquet"),
+      s"final plan re-scans the table — partial sketch not shared:\n$p")
   }
 
   test("q120: ranking exchange bounded by the partial top-k heap") {
