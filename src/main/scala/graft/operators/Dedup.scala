@@ -156,7 +156,17 @@ object Dedup {
                               shingleLen: Int = 3,
                               broadcastBatch: Option[Boolean] = None)
       : DataFrame = {
-    val deltaBk = bandedBuckets(delta, id, text, numHashes, bands, shingleLen)
+    // r21 note: checkpointing these batch bucket rows (three
+    // consumers: the index probe + both sides of the batch-internal
+    // self-join) was tried and REVERTED — the LogicalRDD barrier
+    // erases the size estimates that let the final left joins
+    // broadcast their agg sides, and the lost broadcasts cost more
+    // than the saved signature recompute at every batch size measured
+    // (q109 solo 0.26 -> 0.58 s eager / 0.64 s lazy at sf0.1). The
+    // batch is the small side by contract, so its recompute is two
+    // extra map-only passes.
+    val deltaBk = bandedBuckets(delta, id, text, numHashes, bands,
+      shingleLen)
     // Broadcast the delta buckets only when Catalyst's size estimate
     // says they fit the session's broadcast threshold; an oversized
     // "batch" (someone reprocessing a month at once) then degrades to
@@ -375,6 +385,7 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
     require(chunks >= 1, "chunks must be >= 1")
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
     // distinct token hashes per doc (compact longs, as in jaccardPairs)
     val toks = distinctTokenHashes(df, id, text)
     val expl = toks.select(col("doc_id"), explode(col("th")).as("tok"))
@@ -404,7 +415,16 @@ object Dedup {
       // and it is hashed-token-sized (two long arrays per doc),
       // smaller than the text it derives from; MEMORY_AND_DISK
       // storage spills rather than OOMs at large corpora. Measured
-      // solo at sf0.1: med 11.7 -> 3.4 s (OPTIMIZATION_r21.md).
+      // solo at sf0.1: med 11.7 -> 5.1 s, and the suite-position
+      // variance collapses (max 17.6 -> 5.9 s); realdocs_sf1 t=0.9:
+      // 64.2 -> 59.4 s (OPTIMIZATION_r21.md).
+      // The user-pinned repartition BEFORE the checkpoint is load-
+      // bearing: the checkpoint job's final stage is AQE-coalesced by
+      // BYTES (docs is small per row), so without it the materialized
+      // RDD has a handful of partitions and every downstream explode
+      // (probes, postings) runs near-serial until its own repartition
+      // — measured 64 -> 92 s at realdocs_sf1 before the pin.
+      .repartition(nParts, col("doc_id"))
       .localCheckpoint()
     // Prefix probe side: the floor((1-t)n)+2 rarest tokens of each doc.
     // Both join sides are SKINNY — (id, n, tok[, pos]) longs only; the
@@ -436,7 +456,6 @@ object Dedup {
     // ~(1-t)·chunks·Σ|doc| skinny rows where replicating the index
     // would cost chunks·Σ|doc| — and pin a fixed-count repartition on
     // (tok, salt) that AQE may not coalesce.
-    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val probesS = probes
       .withColumn("__salt", explode(sequence(lit(0), lit(chunks - 1))))
       .repartition(nParts, col("tok"), col("__salt"))

@@ -147,6 +147,15 @@ object Similarity {
     */
   def trainCentroids(corpus: DataFrame, id: String, vec: String,
                      k: Int, iters: Int, roundTo: Int = 9): DataFrame = {
+    // r21 note: checkpointing this projection (the MLlib cache-your-
+    // k-means-input pattern) was tried BOTH eagerly and lazily and
+    // REVERTED: the LogicalRDD barrier erases Catalyst's size
+    // estimates, so downstream joins that should broadcast plan as
+    // sort-merge, costing more than the saved re-projection (measured
+    // q124 solo 2.11 -> 2.26 s eager, 2.92 s lazy at sf0.1). The
+    // per-iteration recompute is one column projection per Lloyd
+    // step; the per-step centroid localCheckpoint below (which keeps
+    // the PLAN flat, its actual job) stays.
     val v = corpus.select(col(id).as("cid"), toDoubles(col(vec)).as("v"))
     var centroids = v.orderBy(col("cid")).limit(k)
       .select(col("cid").as("centroid_id"), col("v").as("centroid"))

@@ -47,6 +47,14 @@ object TfIdf {
                roundTo: Int = 9): DataFrame = {
     val toks = docs
       .select(id.as("doc_id"), explode(tokens(text)).as("term"))
+    // r21 note: tf feeds both the window branch and the df branch
+    // with diverging column pruning, so the tokenize+explode+(doc,
+    // term) exchange runs twice (0 reused stages in the executed
+    // plan). Checkpointing tf to share it was tried and REVERTED —
+    // measured solo med 0.82 -> 1.14 s at sf0.1: the materialization
+    // barrier + erased size estimates cost more than the saved second
+    // explode, the same verdict as r16's carried-length rewrite
+    // (PLANS.md round 17, "q69 adjudicated").
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("cnt"))
     val tfLen = tf.withColumn("len",
