@@ -23,7 +23,19 @@ object TextFunctions {
   /** Whitespace tokenization of trimmed text. */
   def tokens(c: Column): Column = split(trim(c), wsClass + "+")
 
-  def tokenCount(c: Column): Column = size(tokens(c))
+  /** Token count WITHOUT materializing the token array (r21):
+    * `split(s, re, -1)` yields exactly (#non-overlapping matches of
+    * re) + 1 pieces for any non-null s — trailing empty pieces are
+    * kept at limit -1 — so `size(tokens(c))` equals
+    * `regexp_count(trim(c), re) + 1` unconditionally (same Java regex
+    * engine, same pattern; null → null on both paths). regexp_count
+    * only scans; it never allocates the per-token strings the split
+    * form builds and discards, which is the whole map-phase cost of
+    * the count in q105/q107/q31-style length passes. Equivalence is
+    * property-tested against size∘tokens in TextFunctionsSpec.
+    */
+  def tokenCount(c: Column): Column =
+    regexp_count(trim(c), lit(wsClass + "+")) + lit(1)
 
   /** Word n-gram shingles from a precomputed token array, empty array
     * when the doc is too short. */

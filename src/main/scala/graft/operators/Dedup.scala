@@ -543,11 +543,21 @@ object Dedup {
         .as("rt"))
       .select(col("doc_id"),
         transform(col("rt"), s => s.getField("tok")).as("rtoks"))
+    val nParts = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val docs = toks
       .select(col("doc_id"), array_sort(col("th")).as("stoks"))
       .join(rarity, "doc_id")
       .withColumn("n", size(col("stoks")))
       .filter(col("n") > 0)
+      // r21: the postings and docs writes are two ACTIONS over the
+      // same tokenize+rarity chain — checkpoint it once (the q115
+      // pattern, incl. the load-bearing pinned repartition: the
+      // checkpoint job's final stage is AQE-coalesced by bytes, which
+      // would leave the posexplode below near-serial). Build cost
+      // drops from three full tokenize passes to two (the dfreq write
+      // above is the remaining one).
+      .repartition(nParts, col("doc_id"))
+      .localCheckpoint()
     docs.select(col("doc_id"), col("n"),
         posexplode(col("rtoks")).as(Seq("pos", "tok")))
       .write.mode("overwrite").parquet(path + "/postings")

@@ -63,4 +63,30 @@ class TextFunctionsSpec extends SparkSpec {
     // single token: no bigrams -> 0 / 0 sentinel values
     assert(rows(2).getDouble(0) == 0.0 && rows(2).getInt(1) == 0)
   }
+
+  test("tokenCount (regexp_count form) == size(tokens) on every edge (r21)") {
+    // the r21 rewrite counts whitespace runs instead of materializing
+    // the split array; split(s, re, -1) keeps trailing empty pieces,
+    // so size == matches + 1 must hold UNCONDITIONALLY — pin the edges
+    // that could break it: empty, all-whitespace, leading/trailing ws,
+    // every wsClass member, unicode text, nulls
+    val rnd = new scala.util.Random(21)
+    val ws = Seq(' ', '\t', '\n', '\u000B', '\f', '\r')
+    val fuzz = (1 to 200).map { _ =>
+      val n = rnd.nextInt(12)
+      (0 until n).map { _ =>
+        if (rnd.nextBoolean()) ws(rnd.nextInt(ws.size)).toString
+        else rnd.alphanumeric.take(rnd.nextInt(4)).mkString
+      }.mkString
+    }
+    val cases = Seq("", " ", "  ", "a", " a ", "a b", "a  b ", "\t\n",
+      "ol\u00e1 mundo  caf\u00e9", "x\u000By", null) ++ fuzz
+    val df = cases.toDF("t")
+    val bad = df.select(
+        tokenCount($"t").as("fast"),
+        size(tokens($"t")).as("ref"))
+      .filter(!($"fast" <=> $"ref"))
+      .count()
+    assert(bad == 0L)
+  }
 }
