@@ -213,15 +213,38 @@ object Bench {
       require(dups.isEmpty,
         s"duplicate bench query prefixes: ${dups.mkString(",")}")
     }
-    def jsonLine(dp: Int): String = {
+    def jsonLine(dp: Int, nMin: Int): String = {
       val qs = healed.map { case (k, v, _) =>
         "\"" + k.takeWhile(_ != '_') + "\":" +
           num(dp, v.map(med).getOrElse(-1.0))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(3, total)},"unit":"sec","runs":$runs,$remeasureJson,"regressed":$regressedJson,"total_min":${num(3, totalMin)},"total_max":${num(3, totalMax)},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      // r22 (r21 verdict ask): per-query MIN — the run's lower
+      // envelope — for the SLOWEST nMin queries, so a driver reading
+      // only this line can tell "slow in every rep" (min ≈ med: code)
+      // from "slow medians on a noisy host" (min ≪ med: load) for
+      // exactly the queries that dominate the total. Additions-only:
+      // the timed region, run counts and the `queries` medians are
+      // byte-identical to r21; the full per-query spread remains in
+      // the detail file. nMin degrades (12→0) BEFORE any med loses a
+      // decimal place, so the pre-existing fields never get worse.
+      val qmin =
+        if (nMin <= 0) ""
+        else healed
+          .collect { case (k, Some(ts), _) => (k, ts) }
+          .sortBy { case (_, ts) => -med(ts) }
+          .take(nMin)
+          .map { case (k, ts) =>
+            // qmin is a min-vs-med RATIO signal — 2dp suffices, and
+            // the saved chars buy ~3x more entries within the budget
+            "\"" + k.takeWhile(_ != '_') + "\":" +
+              num(math.min(dp, 2), ts.head)
+          }
+          .mkString(""","qmin":{""", ",", "}")
+      s"""{"metric":"total","value":${num(3, total)},"unit":"sec","runs":$runs,$remeasureJson,"regressed":$regressedJson,"total_min":${num(3, totalMin)},"total_max":${num(3, totalMax)},"queries":$qs$qmin,"failed":$failedJson,"sf":"$sfDir"}"""
     }
-    val line = (3 to 0 by -1).map(jsonLine)
-      .find(_.length <= 1800).getOrElse(jsonLine(0))
+    val line = (for { dp <- 3 to 0 by -1; nMin <- Seq(12, 8, 4, 0) }
+        yield jsonLine(dp, nMin))
+      .find(_.length <= 1800).getOrElse(jsonLine(0, 0))
     // full per-query spread goes to a file (the stdout line has a hard
     // ~2000-char budget): min/median/max over the timed runs, so a
     // per-query regression flag can be judged against ITS OWN noise

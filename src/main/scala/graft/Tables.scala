@@ -75,7 +75,10 @@ object Tables {
     * the zero-job form of [[graft.operators.BlockDials.countAndMax]]
     * for size-derived dials. Column-chunk statistics are exact for
     * integral types; an all-null or statistics-less column falls back
-    * to the agg job (and a missing path to (0-via-count, 0)).
+    * to the agg job. The path must exist either way: a missing table
+    * makes the fallback's `load` throw (AnalysisException), the same
+    * contract as [[load]] itself — never the case for Tables-backed
+    * dirs.
     */
   def statsCountMax(spark: SparkSession, dir: String, name: String,
                     column: String): (Long, Long) = {

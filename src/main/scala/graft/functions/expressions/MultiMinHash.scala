@@ -375,4 +375,11 @@ object CustomExpressions {
   def boundedTopK(score: Column, id: Column, k: Int): Column =
     toColumn(BoundedTopK(toExpression(score), toExpression(id), k)
       .toAggregateExpression())
+
+  /** Column wrapper: per-dimension decimal-exact (sum, count) of an
+    * array<double> column in one aggregation pass — evaluates to
+    * array<struct<s: double, c: bigint>> (see [[VectorMeanParts]]).
+    */
+  def vectorMeanParts(vec: Column): Column =
+    toColumn(VectorMeanParts(toExpression(vec)).toAggregateExpression())
 }

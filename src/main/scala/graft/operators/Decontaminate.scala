@@ -106,8 +106,16 @@ object Decontaminate {
     // at large mBits dials, silently degrading every membership test
     // to a SortMergeJoin that shuffles the corpus gram stream — the
     // exact cost the sketch exists to avoid (r20 advisor).
+    // r22 (r21 advisor): the hint is GATED on the mBits bound itself —
+    // a saturated 1<<24-bit filter is ~16M long rows, and a forced
+    // broadcast would bypass AQE's size check to risk an executor/
+    // driver OOM per membership join where the unhinted plan degrades
+    // to a (slow but safe) shuffle. Below the gate the row bound is
+    // ≤ 2M longs (~16 MB data), a safe relation on any executor.
+    val forceBroadcast = mBits <= (1 << 21)
     val probed = (0 until numHashes).foldLeft(corpusGrams) { (df, j) =>
-      df.join(broadcast(evalBits.withColumnRenamed("bit", s"b$j")),
+      val bits = evalBits.withColumnRenamed("bit", s"b$j")
+      df.join(if (forceBroadcast) broadcast(bits) else bits,
               pos(col("cgram"), j) === col(s"b$j"), "left")
     }
     val allSet = (0 until numHashes)

@@ -392,40 +392,33 @@ object Dedup {
     val dfreq = expl.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
     // rarity order: (df ASC, hash ASC) — struct array_sort is
     // field-lexicographic, giving the identical total order everywhere
-    val rarity = expl.join(dfreq, "tok")
+    // r22: the r21 repartition+localCheckpoint of the 4-consumer docs
+    // table was REVERTED on the driver's ground truth (q115 3.5 ->
+    // 23.1 s at 32 cores, core-scaling ratio 0.30 — the eager
+    // materialization runs inside the timed region on every per-rep
+    // reconstruction and its block-manager churn anti-scales with
+    // cores; the host it was validated on had an expensive recompute,
+    // the driver host a cheap one). The recompute is cut STRUCTURALLY
+    // instead:
+    //  - the verify-side small/big re-attaches derive from the
+    //    map-only `toks` subtree (they only need hash-sorted arrays —
+    //    the dfreq+rarity chain they used to ride through was pure
+    //    recompute; rarity membership == size(th) > 0, so the rows
+    //    are identical);
+    //  - probes and index both consume `docs` with the IDENTICAL
+    //    (doc_id, n, rtoks) projection — n is size(rtoks), not
+    //    size(stoks) (same value: rtoks is a permutation of stoks) —
+    //    so the rarity aggregation's exchange canonicalizes equal
+    //    under both consumers and ReuseExchange shares the whole
+    //    scan+tokenize+df-count subtree under it instead of a
+    //    materialization barrier (the q130 pattern).
+    val docs = expl.join(dfreq, "tok")
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("tdf"), col("tok"))))
         .as("rt"))
       .select(col("doc_id"),
         transform(col("rt"), s => s.getField("tok")).as("rtoks"))
-    val docs = toks
-      .select(col("doc_id"), array_sort(col("th")).as("stoks"))
-      .join(rarity, "doc_id")
-      .withColumn("n", size(col("stoks")))
-      .filter(col("n") > 0)
-      // r21: this table feeds FOUR consumers (probe prefixes, index
-      // postings, and both verify-side array re-attaches); without a
-      // materialization the scan+tokenize+df-count+rarity-sort chain
-      // re-runs per consumer (the executed sf0.1 plan showed 20
-      // parquet scans of the corpus — AQE stage reuse can't see
-      // through the differing consumers). localCheckpoint is exactly
-      // the content the operator's own scale analysis prescribes
-      // materializing — writeContainmentIndex persists this same
-      // docs+postings content to parquet for the incremental path —
-      // and it is hashed-token-sized (two long arrays per doc),
-      // smaller than the text it derives from; MEMORY_AND_DISK
-      // storage spills rather than OOMs at large corpora. Measured
-      // solo at sf0.1: med 11.7 -> 5.1 s, and the suite-position
-      // variance collapses (max 17.6 -> 5.9 s); realdocs_sf1 t=0.9:
-      // 64.2 -> 59.4 s (OPTIMIZATION_r21.md).
-      // The user-pinned repartition BEFORE the checkpoint is load-
-      // bearing: the checkpoint job's final stage is AQE-coalesced by
-      // BYTES (docs is small per row), so without it the materialized
-      // RDD has a handful of partitions and every downstream explode
-      // (probes, postings) runs near-serial until its own repartition
-      // — measured 64 -> 92 s at realdocs_sf1 before the pin.
-      .repartition(nParts, col("doc_id"))
-      .localCheckpoint()
+      .withColumn("n", size(col("rtoks")))
     // Prefix probe side: the floor((1-t)n)+2 rarest tokens of each doc.
     // Both join sides are SKINNY — (id, n, tok[, pos]) longs only; the
     // token arrays do NOT ride through the candidate join (round 15 —
@@ -460,7 +453,17 @@ object Dedup {
       .withColumn("__salt", explode(sequence(lit(0), lit(chunks - 1))))
       .repartition(nParts, col("tok"), col("__salt"))
     val indexS = index
-      .withColumn("__salt", pmod(xxhash64(col("b_id")), lit(chunks)).cast("int"))
+      // the outer coalesce keeps this salt NON-NULLABLE (Pmod is
+      // nullable by type whatever its inputs — div-by-zero semantics
+      // — and a literal chunks >= 1 never trips it): same value for
+      // every row, but without it the join's inferred isnotnull(salt)
+      // pushes to the index-side SCAN only, making the two rarity-agg
+      // exchange subtrees canonically different — which is exactly
+      // what blocks the ReuseExchange sharing the comment above
+      // `docs` relies on.
+      .withColumn("__salt",
+        coalesce(pmod(xxhash64(col("b_id")), lit(chunks)), lit(0L))
+          .cast("int"))
       .repartition(nParts, col("tok"), col("__salt"))
     val candidates = probesS.join(indexS,
         probesS("tok") === indexS("tok") &&
@@ -472,9 +475,16 @@ object Dedup {
       // the merge scan runs once per pair, not once per occurrence
       .select(col("a_id"), col("b_id"))
       .distinct()
-    val small = docs.select(col("doc_id").as("a_id"), col("n").as("a_n"),
+    // verify-side arrays from the map-only tokenize subtree (one scan
+    // each, no shuffle): same rows as the old docs join — rarity
+    // membership is exactly size(th) > 0
+    val sorted = toks
+      .select(col("doc_id"), array_sort(col("th")).as("stoks"))
+      .withColumn("n", size(col("stoks")))
+      .filter(col("n") > 0)
+    val small = sorted.select(col("doc_id").as("a_id"), col("n").as("a_n"),
       col("stoks").as("a_toks"))
-    val big = docs.select(col("doc_id").as("b_id"),
+    val big = sorted.select(col("doc_id").as("b_id"),
       col("stoks").as("b_toks"))
     candidates
       .join(small, "a_id")
@@ -543,25 +553,26 @@ object Dedup {
         .as("rt"))
       .select(col("doc_id"),
         transform(col("rt"), s => s.getField("tok")).as("rtoks"))
-    val nParts = corpus.sparkSession.sessionState.conf.numShufflePartitions
-    val docs = toks
-      .select(col("doc_id"), array_sort(col("th")).as("stoks"))
-      .join(rarity, "doc_id")
-      .withColumn("n", size(col("stoks")))
-      .filter(col("n") > 0)
-      // r21: the postings and docs writes are two ACTIONS over the
-      // same tokenize+rarity chain — checkpoint it once (the q115
-      // pattern, incl. the load-bearing pinned repartition: the
-      // checkpoint job's final stage is AQE-coalesced by bytes, which
-      // would leave the posexplode below near-serial). Build cost
-      // drops from three full tokenize passes to two (the dfreq write
-      // above is the remaining one).
-      .repartition(nParts, col("doc_id"))
-      .localCheckpoint()
-    docs.select(col("doc_id"), col("n"),
+    // r22: the r21 checkpoint-shared docs table is gone with the q115
+    // revert (same driver-ground-truth rationale — see
+    // containmentPairs). The two write ACTIONS never needed a shared
+    // chain: the docs table only needs the map-only tokenize subtree
+    // (rarity membership == size(th) > 0, so the rows are identical),
+    // and the postings write is the only consumer of the rarity sort.
+    // Build cost is the same two tokenize passes the checkpoint form
+    // paid (dfreq's write is pass one), minus the checkpoint
+    // materialization job and its non-fault-tolerant blocks — on a
+    // real cluster each write is independently lineage-recoverable.
+    rarity
+      .withColumn("n", size(col("rtoks")))
+      .select(col("doc_id"), col("n"),
         posexplode(col("rtoks")).as(Seq("pos", "tok")))
       .write.mode("overwrite").parquet(path + "/postings")
-    docs.select(col("doc_id"), col("n"), col("stoks"))
+    toks
+      .select(col("doc_id"), array_sort(col("th")).as("stoks"))
+      .withColumn("n", size(col("stoks")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("n"), col("stoks"))
       .write.mode("overwrite").parquet(path + "/docs")
   }
 

@@ -107,6 +107,11 @@ object Kmv {
     * partition, + K global rows per partition), so the materialization
     * is bounded at any corpus size, and without it each of the two
     * returned frames would re-run the scan the method exists to share.
+    * Cluster caveat (r21 advisor): `localCheckpoint` blocks are NOT
+    * recoverable on executor loss — fine for the single-JVM local
+    * engine; a cluster deployment of this shape would persist the
+    * bounded partials to reliable storage (`checkpoint()` with a
+    * checkpoint dir, or a parquet round-trip) instead.
     *
     * Returns (perGroup, global): (g, hv) rows exactly equal to
     * [[kSmallestDistinctByGroup]], and (hv) rows exactly equal to

@@ -162,20 +162,23 @@ object Similarity {
     for (_ <- 0 until iters) {
       val assigned = assignToCentroid(v, centroids, "v", roundTo)
       val prev = centroids
+      // r22 one-exchange Lloyd step: per-dim decimal-exact (sum, count)
+      // via the VectorMeanParts partial aggregate — one groupBy on
+      // centroid_id (ONE exchange of k sketch-sized rows) instead of
+      // posexplode → (centroid, dim) agg → (centroid) agg (TWO
+      // exchanges behind an n×dims row explosion). The division and
+      // 9-decimal round stay in Catalyst on the same (double, bigint)
+      // types, so the means are bit-identical to the exploded form
+      // (decimal sums are order-independent; equality property-tested
+      // in SimilaritySpec and oracled by q54/q122/q124/q125/q127).
       centroids = assigned
-        .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("centroid_id"), col("dim"))
-        // decimal-summed mean: centroid values must not drift by
-        // partition order or assignments (and thus results) would be
-        // nondeterministic run to run
-        .agg(round(sum(col("x").cast(
-            org.apache.spark.sql.types.DecimalType(38, 18)))
-          .cast("double") / count(col("x")), roundTo).as("m"))
         .groupBy(col("centroid_id"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("m"))))
-          .as("dm"))
+        .agg(graft.functions.expressions.CustomExpressions
+          .vectorMeanParts(col("v")).as("mp"))
         .select(col("centroid_id"),
-          transform(col("dm"), s => s.getField("m")).as("centroid"))
+          transform(col("mp"),
+            p => round(p.getField("s") / p.getField("c"), roundTo))
+            .as("centroid"))
         // truncate lineage: without this each Lloyd step re-plans the
         // whole preceding chain and the plan grows superlinearly
         .localCheckpoint()

@@ -47,19 +47,32 @@ object TfIdf {
                roundTo: Int = 9): DataFrame = {
     val toks = docs
       .select(id.as("doc_id"), explode(tokens(text)).as("term"))
-    // r21 note: tf feeds both the window branch and the df branch
-    // with diverging column pruning, so the tokenize+explode+(doc,
-    // term) exchange runs twice (0 reused stages in the executed
-    // plan). Checkpointing tf to share it was tried and REVERTED —
-    // measured solo med 0.82 -> 1.14 s at sf0.1: the materialization
-    // barrier + erased size estimates cost more than the saved second
-    // explode, the same verdict as r16's carried-length rewrite
-    // (PLANS.md round 17, "q69 adjudicated").
+    // r21 note: tf feeds both the window branch and the df branch;
+    // checkpointing tf to share it was tried and REVERTED — measured
+    // solo med 0.82 -> 1.14 s at sf0.1: the materialization barrier +
+    // erased size estimates cost more than the saved second explode,
+    // the same verdict as r16's carried-length rewrite (PLANS.md
+    // round 17, "q69 adjudicated").
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("cnt"))
     val tfLen = tf.withColumn("len",
       sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
-    val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // r22: count(when(cnt > 0, cnt)) instead of count(1) —
+    // value-identical (every tf group has cnt >= 1 by construction,
+    // so the branch is always taken and every group row is counted),
+    // but the optimizer cannot prove it: a plain count(cnt) is
+    // normalized back to count(1) (non-nullable child) and column
+    // pruning then drops cnt out of this branch's copy of tf, making
+    // the two (doc, term) exchange subtrees canonically DIFFERENT and
+    // blocking reuse. With cnt pinned, both consumers' exchanges
+    // canonicalize equal and ReuseExchange shares the tokenize+
+    // explode+partial-count chain that previously ran twice (0 reused
+    // stages in the r21 executed plan). This is the estimate-
+    // preserving alternative to the twice-rejected checkpoint: no
+    // LogicalRDD barrier, Catalyst stats intact, the df-side
+    // broadcast decision unchanged.
+    val dfTbl = tf.groupBy(col("term"))
+      .agg(count(when(col("cnt") > 0, col("cnt"))).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tfLen
       .join(dfTbl, Seq("term"))

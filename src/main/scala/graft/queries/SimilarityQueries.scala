@@ -122,16 +122,13 @@ object SimilarityQueries extends Catalog {
     * parquet FOOTERS driver-side — zero Spark jobs, the q96
     * ParquetStats pattern (r21: each of the six former `e.count()`
     * dial sites paid a full-scan job per invocation just to size the
-    * blocking). Parquet footers record exact per-block row counts, so
-    * the value is identical to `df.count()` by format contract; a
-    * non-existent path (never the case for Tables-backed dirs) falls
-    * back to the count job.
+    * blocking). r22 (r21 advisor): delegate to [[Tables.rowCount]] —
+    * this was a verbatim copy of it, two fallback paths that could
+    * drift.
     */
   private def tableRows(s: org.apache.spark.sql.SparkSession, dir: String,
                         name: String): Long =
-    graft.sources.ParquetStats
-      .rowCount(s.sparkContext.hadoopConfiguration, s"$dir/$name.parquet")
-      .getOrElse(Tables.load(s, dir, name).count())
+    Tables.rowCount(s, dir, name)
 
   // --- shared CTE chain for the IVF-indexed miners (q124/q125):
   // sample-trained k-means (2 Lloyd steps over the 50·C lowest-id

@@ -140,6 +140,20 @@ class PlansSpec extends SparkSpec {
     // the codegen'd containment merge scan still gates the output
     assert(p.contains("sorted_intersect_at_least_frac_left_long"),
       s"codegen'd containment verify missing:\n$p")
+    // r22: the 4-consumer recompute is cut structurally, not by a
+    // materialization — the probe and index branches share the rarity
+    // aggregation's exchange (ReuseExchange; requires the non-nullable
+    // index salt, see Dedup.containmentPairs), and the verify-side
+    // re-attaches are map-only. Executed plan: exactly 4 corpus scans
+    // (shared rarity chain: docs + dfreq; small; big) and the reused
+    // exchange present. The r21 checkpoint form (0 scans + an
+    // in-region materialization) regressed 6.6× on the driver; the
+    // pre-r21 form re-ran the chain per consumer (~20 scans).
+    val scans = "Scan parquet".r
+      .findAllIn(p.split("== Initial Plan ==")(0)).size
+    assert(scans == 4, s"expected 4 corpus scans, got $scans:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"rarity-agg exchange no longer shared by probes + index:\n$p")
   }
 
   test("q126: batch broadcasts into the postings scans; corpus side " +
@@ -273,6 +287,17 @@ class PlansSpec extends SparkSpec {
     // shuffles on the term key
     assert(!p.contains("SortMergeJoin"),
       s"corpus shuffled on the term key:\n$p")
+    // r22: the df branch derives from the SAME (doc_id, term)
+    // exchange as the window branch (count(when(cnt > 0, cnt)) pins
+    // cnt so pruning can't desync the subtrees) — the tokenize+
+    // explode+partial-count chain runs ONCE: 2 scans (tf chain +
+    // n_docs), ReusedExchange present
+    val scans = "Scan parquet".r
+      .findAllIn(p.split("== Initial Plan ==")(0)).size
+    assert(scans == 2, s"expected 2 scans (tf chain + n_docs), " +
+      s"got $scans:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"(doc, term) exchange no longer shared by window + df:\n$p")
   }
 
   test("q69: vocab join is AQE-gated, not hint-forced — degrades to shuffle") {

@@ -36,6 +36,57 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("one-pass vector-mean Lloyd step == r21 exploded per-dim form") {
+    // r22: trainCentroids' means now come from the VectorMeanParts
+    // one-exchange aggregate. Pin bit-equality of the per-centroid
+    // means against the r21 posexplode → (centroid, dim) decimal-sum
+    // → collect_list form, on (a) the real fixture embeddings and
+    // (b) adversarial doubles (denormals-ish magnitudes, negatives,
+    // long-tail decimals, a null element, ragged lengths).
+    import graft.functions.expressions.CustomExpressions.vectorMeanParts
+    def oldForm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"g", posexplode($"v").as(Seq("dim", "x")))
+      .groupBy($"g", $"dim")
+      .agg(round(sum($"x".cast(
+          org.apache.spark.sql.types.DecimalType(38, 18)))
+        .cast("double") / count($"x"), 9).as("m"))
+      .groupBy($"g")
+      .agg(array_sort(collect_list(struct($"dim", $"m"))).as("dm"))
+      .select($"g", transform($"dm", s => s.getField("m")).as("centroid"))
+    def newForm(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"g")
+      .agg(vectorMeanParts($"v").as("mp"))
+      .select($"g", transform($"mp",
+        p => round(p.getField("s") / p.getField("c"), 9)).as("centroid"))
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val o = oldForm(df).as[(Long, Seq[Double])].collect().toMap
+      val n = newForm(df).as[(Long, Seq[Double])].collect().toMap
+      assert(o == n, s"means diverged:\nold=$o\nnew=$n")
+    }
+    val e = Tables.load(spark, dir, "embeddings")
+      .select((col("vec_id") % 7).as("g"),
+        graft.functions.VectorFunctions.toDoubles($"embedding").as("v"))
+    check(e)
+    val adversarial = Seq(
+      (0L, Seq(1.0e-300, -2.5, 0.1)),
+      (0L, Seq(0.30000000000000004, 2.5, -0.1)),
+      // decimal(38,18) holds < 1e20: values beyond that made the OLD
+      // form throw under ANSI too (out of the operator's domain)
+      (0L, Seq(9.876543210987654e15, 3.333333333333333, 0.0)),
+      (1L, Seq(-0.0, 1e17, 123.456789012345678)),
+      (1L, Seq(5e-18, -1e17, 0.1)),
+      (2L, Seq(Math.PI, Math.E)) // ragged: shorter row
+    ).toDF("g", "v")
+    check(adversarial)
+    // null element: contributes to neither sum nor count of its dim
+    val withNull = spark.sql(
+      """SELECT * FROM VALUES
+        |  (0L, array(cast(1.5 as double), cast(null as double), 2.0)),
+        |  (0L, array(cast(2.5 as double), cast(4.0 as double), 1.0))
+        |AS t(g, v)""".stripMargin)
+    check(withNull)
+  }
+
   test("multi-probe LSH recall dominates single-probe and clears 0.5") {
     val e = Tables.load(spark, dir, "embeddings")
     val queries = e.filter($"vec_id" < 10)
