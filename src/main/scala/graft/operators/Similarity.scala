@@ -475,7 +475,7 @@ object Similarity {
     */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
                    path: String): DataFrame =
-    spark.read.parquet(path)
+    graft.Tables.readCached(spark, path)
 
   /** Probe-only ANN over a materialized [[writeIvfIndex]] layout:
     * each query picks its `nprobe` closest centroids (broadcast) and
