@@ -69,16 +69,22 @@ object Multimodal {
   def encodePng(seed: Long, width: Int, height: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // r22: one bulk setRGB instead of a per-pixel call — per-pixel
+    // setRGB pays a color-model conversion + bounds check per call
+    // and this encode runs inside the timed query per rep. Same
+    // values, same bytes out.
+    val buf = new Array[Int](width * height)
     var y = 0
     while (y < height) {
       var x = 0
       while (x < width) {
         val v = ((seed * 31 + 7L * x + 13L * y) % 256).toInt
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        buf(y * width + x) = (v << 16) | (v << 8) | v
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, width, height, buf, 0, width)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -167,17 +173,20 @@ object Multimodal {
     while (f < nFrames) {
       val img = new java.awt.image.BufferedImage(
         width, height, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
-      val raster = img.getRaster
+      // r22: one bulk setSamples per frame instead of a per-pixel
+      // setSample call (same sample values, same GIF bytes out)
+      val samples = new Array[Int](width * height)
       var y = 0
       while (y < height) {
         var x = 0
         while (x < width) {
-          raster.setSample(x, y, 0,
-            ((seed * 31 + 7L * x + 13L * y + 19L * f) % 256).toInt)
+          samples(y * width + x) =
+            ((seed * 31 + 7L * x + 13L * y + 19L * f) % 256).toInt
           x += 1
         }
         y += 1
       }
+      img.getRaster.setSamples(0, 0, width, height, 0, samples)
       writer.writeToSequence(
         new javax.imageio.IIOImage(img, null, null), null)
       f += 1
@@ -234,14 +243,15 @@ object Multimodal {
             val img = reader.read(f)
             w = img.getWidth
             h = img.getHeight
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                sum += (img.getRGB(x, y) >> 16) & 0xff
-                x += 1
-              }
-              y += 1
+            // r22: one bulk getRGB per frame — the per-pixel call
+            // re-runs the palette color-model conversion and bounds
+            // checks per pixel (same values through the same
+            // ColorModel path, amortized once per frame)
+            val buf = img.getRGB(0, 0, w, h, null, 0, w)
+            var i = 0
+            while (i < buf.length) {
+              sum += (buf(i) >> 16) & 0xff
+              i += 1
             }
           }
           f += 1
@@ -279,17 +289,18 @@ object Multimodal {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(a.payload))
         require(img != null, s"asset ${a.asset_id}: undecodable image")
+        // r22: bulk getRGB (see decodeVideoFeatures) — same values,
+        // one color-model pass per image instead of per pixel
+        val w = img.getWidth
+        val h = img.getHeight
+        val buf = img.getRGB(0, 0, w, h, null, 0, w)
         var sum = 0L
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            sum += (img.getRGB(x, y) >> 16) & 0xff
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < buf.length) {
+          sum += (buf(i) >> 16) & 0xff
+          i += 1
         }
-        ImageFeatures(a.asset_id, img.getWidth, img.getHeight, sum)
+        ImageFeatures(a.asset_id, w, h, sum)
       }
     }
   }
